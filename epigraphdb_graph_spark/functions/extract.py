@@ -1,0 +1,87 @@
+"""html→text extraction as vectorized pandas/Arrow UDFs.
+
+Generalizes the reference pipeline's per-record entity-extraction
+transforms (regex pull of a name out of an HTML anchor,
+rels/gwas-gencor.py:52-58; case-folding and strip transforms, SURVEY.md
+§2.10 F2/F3/F5) into the engine's html→text stage.
+
+**Byte-identity invariant** (BASELINE.json input_hint): the extracted
+``text`` for a url must be byte-identical between the Spark path and the
+pytest oracle. Guaranteed structurally: both call the *same pure Python
+function* ``extract_text`` — the Spark side merely vectorizes it through a
+pandas UDF (Arrow batches; no per-row Python in the executor loop beyond
+the shared function itself). The function uses only locale-independent
+stdlib ops (re with explicit patterns, html.unescape, str.split).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SCRIPT_RE = re.compile(rb"(?is)<(script|style)\b.*?</\1\s*>")
+_COMMENT_RE = re.compile(rb"(?s)<!--.*?-->")
+_TAG_RE = re.compile(rb"(?s)<[^>]*>")
+
+
+def extract_text(html_bytes: bytes | None) -> str | None:
+    """Pure, deterministic html→text. Shared verbatim by the Spark UDF and
+    the pytest/pandas oracle (SURVEY.md §5 'byte-identical text')."""
+    if html_bytes is None:
+        return None
+    raw = bytes(html_bytes)
+    raw = _SCRIPT_RE.sub(b" ", raw)
+    raw = _COMMENT_RE.sub(b" ", raw)
+    raw = _TAG_RE.sub(b" ", raw)
+    text = raw.decode("utf-8", errors="replace")
+    text = _html.unescape(text)
+    # collapse all unicode whitespace runs to single spaces, trim
+    return " ".join(text.split())
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """Arrow-vectorized wrapper of extract_text (binary -> string)."""
+    return html.map(extract_text, na_action="ignore").astype(object).where(html.notna(), None)
+
+
+# --------------------------------------------------------------------------
+# Language guess: marker-stopword heuristic (deterministic; used both as an
+# engine function and as a documents-table analytics query). Kept simple &
+# SQL-expressible so a DuckDB oracle can mirror it exactly.
+# --------------------------------------------------------------------------
+
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+}
+
+
+def _marker_count(text: str, words: list[str]) -> int:
+    toks = text.lower().split()
+    ws = set(words)
+    return sum(1 for t in toks if t in ws)
+
+
+def guess_lang(text: str | None) -> str | None:
+    """Argmax over marker counts; deterministic tiebreak by language code;
+    'und' when nothing matches."""
+    if text is None:
+        return None
+    best_lang, best_n = "und", 0
+    for lang in sorted(LANG_MARKERS):
+        n = _marker_count(text, LANG_MARKERS[lang])
+        if n > best_n:
+            best_lang, best_n = lang, n
+    return best_lang
+
+
+@F.pandas_udf(T.StringType())
+def guess_lang_udf(text: pd.Series) -> pd.Series:
+    return text.map(guess_lang, na_action="ignore").astype(object).where(text.notna(), None)
