@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the flagship CDC replay plus a headline subset of the operator
+queries at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is the end-to-end CDC replay wall time (generate ->
+LWW dedup -> extract -> bucket-pruned MERGE commits), from which
+``events_per_sec`` (the BASELINE.json metric) is derived and reported as
+an extra key. Event count scales with sf: 5M * sf (500k at sf0.1).
+
+Scaling-efficiency evidence (north_rule two-cluster-size criterion) is
+produced by ``scripts/bench_scaling.py`` which runs this same replay at
+two parallelism levels; results are recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# headline queries benched per round (subset of __spark_entry__.queries():
+# relational core, LWW state, dedup family, text analytics, ANN)
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_join_broadcast",
+    "q06_anti_join_audit",
+    "q07_top1_per_group",
+    "q09_distinct_count",
+    "q16_full_outer_consolidate",
+    "q22_cdc_lww_state",
+    "q26_multi_join_star",
+    "q30_token_stats",
+    "q31_exact_dedup",
+    "q32_lang_id",
+    "q34_minhash_bands",
+    "q35_ngram_jaccard",
+    "q36_ann_cosine_topk",
+    "q40_extraction_udf",
+    "q41_simhash",
+]
+
+EVENTS_PER_SF = 5_000_000  # 500k change events at sf0.1
+
+
+def bench_replay(spark, n_events: int, n_batches: int = 4, n_buckets: int = 32):
+    """Time the full CDC replay path; returns (wall_s, n_events, applied_rows)."""
+    from epigraphdb_graph_spark.replay import replay
+    from epigraphdb_graph_spark.plans.lake import LakeTable
+    from epigraphdb_graph_spark.sources.events import generate_change_events
+
+    lake_dir = tempfile.mkdtemp(prefix="bench_lake_")
+    try:
+        events = generate_change_events(
+            spark, n_events, seed=42, n_domains=200, pages_per_domain=256,
+            num_partitions=spark.sparkContext.defaultParallelism,
+        )
+        t0 = time.perf_counter()
+        replay(spark, os.path.join(lake_dir, "pages"), events,
+               n_batches=n_batches, n_buckets=n_buckets)
+        wall = time.perf_counter() - t0
+        final_rows = LakeTable(spark, os.path.join(lake_dir, "pages")).read().count()
+        return wall, n_events, final_rows
+    finally:
+        shutil.rmtree(lake_dir, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+
+    from epigraphdb_graph_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+
+    qmap = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qmap[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+
+    n_events = max(int(EVENTS_PER_SF * sf), 10_000)
+    replay_s, n_ev, final_rows = bench_replay(spark, n_events)
+    timings["cdc_replay"] = round(replay_s, 3)
+
+    out = {
+        "metric": "cdc_replay_wall",
+        "value": round(replay_s, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "events": n_ev,
+        "events_per_sec": round(n_ev / replay_s, 1),
+        "final_rows": final_rows,
+        "parallelism": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""Structured Streaming tailer: exactly-once + resume-from-checkpoint.
+
+Engine analog of the reference's end-of-build conformance gate
+(workflow/Snakefile:177) but for the streaming path: drain a change log,
+assert final lake state equals the pandas oracle, then extend the log and
+resume from the same checkpoint."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from epigraphdb_graph_spark.plans.lake import LakeTable
+from epigraphdb_graph_spark.sources.events import generate_change_events
+from epigraphdb_graph_spark.streaming import stream_metrics, tail_change_log
+
+from .oracle import replay_oracle
+
+N_EVENTS = 2000
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    df = generate_change_events(
+        spark, N_EVENTS, seed=7, n_domains=30, pages_per_domain=8
+    ).cache()
+    df.count()
+    return df
+
+
+def _read_state(spark, path) -> pd.DataFrame:
+    return (
+        LakeTable(spark, path)
+        .read()
+        .select("url", "warc_ts", "text")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
+def _assert_equal(got: pd.DataFrame, events_pdf: pd.DataFrame):
+    want = replay_oracle(events_pdf)[["url", "warc_ts", "text"]]
+    assert len(got) == len(want)
+    assert list(got["url"]) == list(want["url"])
+    assert list(got["warc_ts"]) == list(want["warc_ts"])
+    assert list(got["text"]) == list(want["text"])
+
+
+def test_tailer_exactly_once_and_resume(spark, tmp_path, events):
+    log_dir = str(tmp_path / "log")
+    table_path = str(tmp_path / "pages")
+    ckpt = str(tmp_path / "ckpt")
+
+    first = events.filter(F.col("event_seq") < 1200)
+    rest = events.filter(F.col("event_seq") >= 1200)
+
+    # --- drain the initial log
+    first.repartition(3).write.mode("overwrite").parquet(log_dir)
+    q = tail_change_log(spark, log_dir, table_path, ckpt, n_buckets=8,
+                        max_files_per_trigger=2)
+    q.awaitTermination(120)
+    _assert_equal(_read_state(spark, table_path), first.toPandas())
+
+    table = LakeTable(spark, table_path)
+    v_after_first = table.current_version()
+    n_stream_batches = len(
+        [b for b in table.manifest()["applied_batches"] if b.startswith("stream-")]
+    )
+    assert n_stream_batches >= 2  # maxFilesPerTrigger split it up
+
+    # --- append to the log, resume from the same checkpoint: only new files
+    rest.repartition(2).write.mode("append").parquet(log_dir)
+    q2 = tail_change_log(spark, log_dir, table_path, ckpt, n_buckets=8)
+    q2.awaitTermination(120)
+    _assert_equal(_read_state(spark, table_path), events.toPandas())
+    assert table.current_version() > v_after_first
+
+    # --- re-delivery: fresh checkpoint replays the WHOLE log; every row is
+    # a stale no-op, state unchanged (sink idempotence layer)
+    v_before = table.current_version()
+    q3 = tail_change_log(spark, log_dir, table_path, str(tmp_path / "ckpt2"),
+                         n_buckets=8)
+    q3.awaitTermination(120)
+    _assert_equal(_read_state(spark, table_path), events.toPandas())
+    redelivered = [
+        h for h in table.history()
+        if h["version"] > v_before and h["metrics"].get("op") == "merge"
+    ]
+    assert redelivered, "re-delivery should still commit (as no-op rows)"
+    for h in redelivered:
+        a = h["metrics"]["actions"]
+        assert a.get("insert", 0) == 0 and a.get("update", 0) == 0 \
+            and a.get("delete", 0) == 0 and a.get("tombstone_new", 0) == 0
+
+    # --- lineage metrics table covers every commit
+    mdf = stream_metrics(table)
+    assert mdf.filter("op = 'merge'").count() >= 3
+    assert mdf.agg(F.max("watermark_seq")).first()[0] == N_EVENTS - 1
+
+
+def test_tailer_restart_same_checkpoint_is_noop(spark, tmp_path, events):
+    log_dir = str(tmp_path / "log")
+    table_path = str(tmp_path / "pages")
+    ckpt = str(tmp_path / "ckpt")
+    events.limit(500).write.mode("overwrite").parquet(log_dir)
+
+    q = tail_change_log(spark, log_dir, table_path, ckpt, n_buckets=4)
+    q.awaitTermination(120)
+    v1 = LakeTable(spark, table_path).current_version()
+
+    # nothing new in the log -> restart consumes nothing, no new version
+    q2 = tail_change_log(spark, log_dir, table_path, ckpt, n_buckets=4)
+    q2.awaitTermination(120)
+    assert LakeTable(spark, table_path).current_version() == v1
