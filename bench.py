@@ -53,8 +53,13 @@ HEADLINE = [
 EVENTS_PER_SF = 5_000_000  # 500k change events at sf0.1
 
 
-def bench_replay(spark, n_events: int, n_batches: int = 4, n_buckets: int = 32):
-    """Time the full CDC replay path; returns (wall_s, n_events, applied_rows)."""
+def bench_replay(spark, n_events: int, n_batches: int = 4, n_buckets: int = 32,
+                 mode: str = "mor", compact_every: int | None = None):
+    """Time the full CDC replay path; returns (wall_s, n_events, applied_rows).
+
+    Default mode is merge-on-read with no mid-replay compaction: each commit
+    is O(batch); the final state count at the end exercises the resolving
+    read. COW mode is benched separately for the comparison table."""
     from epigraphdb_graph_spark.replay import replay
     from epigraphdb_graph_spark.plans.lake import LakeTable
     from epigraphdb_graph_spark.sources.events import generate_change_events
@@ -67,9 +72,13 @@ def bench_replay(spark, n_events: int, n_batches: int = 4, n_buckets: int = 32):
         )
         t0 = time.perf_counter()
         replay(spark, os.path.join(lake_dir, "pages"), events,
-               n_batches=n_batches, n_buckets=n_buckets)
+               n_batches=n_batches, n_buckets=n_buckets, mode=mode,
+               compact_every=compact_every)
+        table = LakeTable(spark, os.path.join(lake_dir, "pages"))
+        if mode == "mor":
+            table.compact()  # end-to-end: fold all deltas into a clean base
         wall = time.perf_counter() - t0
-        final_rows = LakeTable(spark, os.path.join(lake_dir, "pages")).read().count()
+        final_rows = table.read().count()
         return wall, n_events, final_rows
     finally:
         shutil.rmtree(lake_dir, ignore_errors=True)
@@ -97,8 +106,11 @@ def main() -> None:
         assert n >= 0
 
     n_events = max(int(EVENTS_PER_SF * sf), 10_000)
-    replay_s, n_ev, final_rows = bench_replay(spark, n_events)
+    bench_replay(spark, 10_000, n_batches=2)  # warmup (JIT/codegen/python workers)
+    replay_s, n_ev, final_rows = bench_replay(spark, n_events, mode="mor")
+    cow_s, _, _ = bench_replay(spark, n_events, mode="cow")
     timings["cdc_replay"] = round(replay_s, 3)
+    timings["cdc_replay_cow"] = round(cow_s, 3)
 
     out = {
         "metric": "cdc_replay_wall",
@@ -108,6 +120,7 @@ def main() -> None:
         "sf": sf,
         "events": n_ev,
         "events_per_sec": round(n_ev / replay_s, 1),
+        "events_per_sec_cow": round(n_ev / cow_s, 1),
         "final_rows": final_rows,
         "parallelism": cpus,
     }

@@ -135,7 +135,8 @@ class LakeTable:
             "key": key,
             "n_buckets": n_buckets,
             "schema": schema.jsonValue(),
-            "files": {},  # bucket(str) -> [relative paths]
+            "files": {},   # bucket(str) -> [relative paths] (base files)
+            "deltas": {},  # bucket(str) -> [relative paths] (MOR deltas)
             "applied_batches": [],
             "watermark_seq": -1,
             "properties": properties or {},
@@ -164,8 +165,10 @@ class LakeTable:
         manifest: dict,
         buckets: list[int] | None = None,
         file_schema: T.StructType | None = None,
+        *,
+        which: str = "files",
     ) -> DataFrame:
-        files = manifest["files"]
+        files = manifest.get(which, {})
         wanted = files.keys() if buckets is None else [str(b) for b in buckets]
         paths = [os.path.join(self.path, p) for b in wanted for p in files.get(str(b), [])]
         fschema = file_schema or self._file_schema(manifest)
@@ -175,10 +178,37 @@ class LakeTable:
         # columns; Spark null-fills them (additive evolution read path)
         return self.spark.read.schema(fschema).parquet(*paths)
 
+    def _read_resolved(
+        self,
+        manifest: dict,
+        buckets: list[int] | None = None,
+        file_schema: T.StructType | None = None,
+    ) -> DataFrame:
+        """Base ∪ delta files with per-key LWW resolution (merge-on-read).
+
+        When no deltas are pending (pure COW history) this is a plain scan —
+        no resolution shuffle is paid. With deltas, the winner per key is
+        max (_ts, _seq) across base+delta rows, exactly the same total order
+        MERGE uses, so COW and MOR histories converge to identical states.
+        """
+        base = self._read_files(manifest, buckets, file_schema)
+        deltas = manifest.get("deltas", {})
+        wanted = deltas.keys() if buckets is None else [str(b) for b in buckets]
+        if not any(deltas.get(str(b)) for b in wanted):
+            return base
+        delta_df = self._read_files(manifest, buckets, file_schema, which="deltas")
+        from ..operators.lww import lww_dedup_agg
+
+        key = manifest["key"]
+        return lww_dedup_agg(
+            base.unionByName(delta_df), key=key, ts_col="_ts", seq_col="_seq"
+        )
+
     def read(self, version: int | None = None, *, with_system_cols: bool = False) -> DataFrame:
-        """Current (or time-travel) state. Tombstones filtered out."""
+        """Current (or time-travel) state. Tombstones filtered out; pending
+        merge-on-read deltas resolved."""
         m = self.manifest(version)
-        df = self._read_files(m).filter(~F.col("_deleted"))
+        df = self._read_resolved(m).filter(~F.col("_deleted"))
         if not with_system_cols:
             df = df.drop(*SYS_COLS)
         return df
@@ -188,10 +218,12 @@ class LakeTable:
         return F.pmod(F.xxhash64(key_col), F.lit(n)).cast("int")
 
     # ----------------------------------------------------------------- write
-    def _write_snapshot(self, df: DataFrame, version: int) -> dict[str, list[str]]:
+    def _write_snapshot(
+        self, df: DataFrame, version: int, *, kind: str = "snap"
+    ) -> dict[str, list[str]]:
         """Write df (must carry _bucket) hive-partitioned by _bucket; return
         per-bucket relative file lists."""
-        snap_rel = os.path.join(_DATA, f"snap-{version:08d}")
+        snap_rel = os.path.join(_DATA, f"{kind}-{version:08d}")
         out_dir = os.path.join(self.path, snap_rel)
         (
             df.write.mode("overwrite")
@@ -250,6 +282,7 @@ class LakeTable:
         batch_id: str | None = None,
         collect_metrics: bool = True,
         watermark_seq: int | None = None,
+        mode: str = "cow",
     ) -> MergeResult:
         """Apply a deduplicated change batch with MERGE semantics.
 
@@ -263,7 +296,22 @@ class LakeTable:
           - target newer ((_ts,_seq) >= (warc_ts,event_seq)) -> stale no-op
           - op in (insert, update)         -> replace row image
           - op == delete                   -> tombstone (read-invisible)
+
+        ``mode``:
+          - ``"cow"`` (copy-on-write): full-outer MERGE join against the
+            touched buckets, rewrite them. Commit cost O(touched data);
+            reads stay plain scans. Right when batches are large relative
+            to update locality or reads dominate.
+          - ``"mor"`` (merge-on-read): append the batch as per-bucket delta
+            files — commit cost O(batch), **no join, no target read**; the
+            per-key LWW resolution is deferred to read()/compact(), exactly
+            like Iceberg v2 / Hudi MOR tables. Right for high-throughput
+            CDC tailing; run ``compact()`` on a cadence to re-bound read
+            cost. Both modes converge to identical table states because
+            resolution uses the same (_ts, _seq) total order.
         """
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown merge mode {mode!r}")
         m = self.manifest()
         if batch_id is not None and batch_id in m["applied_batches"]:
             # exactly-once: replayed micro-batch is a committed no-op
@@ -280,11 +328,21 @@ class LakeTable:
         for c in all_cols:
             if c not in src.columns:
                 src = src.withColumn(c, F.lit(None).cast(typ[c]))
+            elif src.schema[c].dataType != typ[c]:
+                # e.g. an all-null (NullType) column in a delete-only batch
+                src = src.withColumn(c, F.col(c).cast(typ[c]))
         src = src.withColumn("_bucket", self.bucket_expr(F.col(key), n_buckets))
         # persist: the updates lineage (dedup + extraction UDF) is consumed
         # by three actions (touched-buckets, merge write, watermark) — run
         # the expensive upstream exactly once
         src = src.persist()
+
+        if mode == "mor":
+            return self._merge_mor(
+                m, src, all_cols, new_schema,
+                batch_id=batch_id, collect_metrics=collect_metrics,
+                watermark_seq=watermark_seq,
+            )
 
         # ---- bucket pruning: only read buckets this batch touches.
         # Read with the *evolved* file schema: pre-evolution files null-fill
@@ -303,9 +361,11 @@ class LakeTable:
                 return MergeResult(version, 0, 0, 0, 0, 0)
             return MergeResult(m["version"], 0, 0, 0, 0, 0, noop=True)
         evolved_manifest = {**m, "schema": new_schema.jsonValue()}
+        # resolved read: if earlier MOR commits left deltas in these buckets,
+        # they are folded in here and this COW rewrite retires them
         target = (
-            self._read_files(m, buckets=touched,
-                             file_schema=self._file_schema(evolved_manifest))
+            self._read_resolved(m, buckets=touched,
+                                file_schema=self._file_schema(evolved_manifest))
             .withColumn("_bucket", self.bucket_expr(F.col(key), n_buckets))
         )
 
@@ -348,10 +408,15 @@ class LakeTable:
 
         metrics = {}
         if collect_metrics:
-            resolved = resolved.persist()  # metrics pass + write pass
-            # one cheap pass over touched buckets only; per-bucket lineage
+            # Per-bucket lineage metrics via a SEPARATE column-pruned pass,
+            # deliberately NOT persist()ing `resolved`: caching full row
+            # images (html+text) per commit is O(table) memory at scale,
+            # while recomputing the join for a (_bucket, _action) projection
+            # reads only key/ordering columns from parquet (src side comes
+            # from the persisted cache, so dedup+extraction don't re-run).
             per_bucket = (
-                resolved.groupBy("_bucket", "_action").count().collect()
+                resolved.select("_bucket", "_action")
+                .groupBy("_bucket", "_action").count().collect()
             )
             agg: dict[str, int] = {}
             by_bucket: dict[str, dict[str, int]] = {}
@@ -366,8 +431,10 @@ class LakeTable:
         new_files = self._write_snapshot(out.repartition(n_parts, "_bucket"), version)
 
         files = dict(m["files"])
+        deltas = dict(m.get("deltas", {}))
         for b in touched:
             files[str(b)] = new_files.get(str(b), [])
+            deltas.pop(str(b), None)  # rewrite folded these deltas in
         # watermark: log position processed. If the caller doesn't supply the
         # batch's end position, fall back to max seq in the (deduped) batch —
         # note LWW by (warc_ts, seq) may have dropped the max-seq event, so
@@ -377,8 +444,6 @@ class LakeTable:
             watermark_seq = wm_row[0] if wm_row[0] is not None else -1
         watermark = max(m["watermark_seq"], watermark_seq)
         src.unpersist()
-        if collect_metrics:
-            resolved.unpersist()
 
         manifest = {
             **m,
@@ -386,6 +451,7 @@ class LakeTable:
             "parent": m["version"],
             "schema": new_schema.jsonValue(),
             "files": files,
+            "deltas": deltas,
             "applied_batches": m["applied_batches"] + ([batch_id] if batch_id else []),
             "watermark_seq": watermark,
             "metrics": {"op": "merge", "batch_id": batch_id, **metrics},
@@ -399,6 +465,81 @@ class LakeTable:
             deleted=a.get("delete", 0) + a.get("tombstone_new", 0),
             stale_skipped=a.get("stale", 0),
             touched_buckets=len(touched),
+        )
+
+    def _merge_mor(
+        self,
+        m: dict,
+        src: DataFrame,
+        all_cols: list[str],
+        new_schema: T.StructType,
+        *,
+        batch_id: str | None,
+        collect_metrics: bool,
+        watermark_seq: int | None,
+    ) -> MergeResult:
+        """Merge-on-read commit: append the deduped batch as per-bucket
+        delta files. O(batch) — no target read, no join; per-key LWW
+        resolution is deferred to _read_resolved/compact (Hudi/Iceberg-v2
+        MOR analog). ``src`` arrives persisted, bucketed, schema-conformed."""
+        version = m["version"] + 1
+        out = (
+            src.withColumn("_seq", F.col("event_seq"))
+            .withColumn("_ts", F.col("warc_ts"))
+            .withColumn("_deleted", F.col("op") == "delete")
+            .select(*all_cols, "_seq", "_ts", "_deleted", "_bucket")
+        )
+        new_files = self._write_snapshot(
+            out.repartition(m["n_buckets"], "_bucket"), version, kind="delta"
+        )
+        if not new_files:  # empty batch: ledger-only commit (cf. COW path)
+            src.unpersist()
+            if batch_id is not None:
+                self._commit({**m, "version": version, "parent": m["version"],
+                              "applied_batches": m["applied_batches"] + [batch_id],
+                              "metrics": {"op": "merge", "mode": "mor",
+                                          "batch_id": batch_id, "empty": True}})
+                return MergeResult(version, 0, 0, 0, 0, 0)
+            return MergeResult(m["version"], 0, 0, 0, 0, 0, noop=True)
+
+        metrics: dict = {"mode": "mor"}
+        n_upserts = n_deletes = 0
+        if collect_metrics:
+            per_bucket = src.groupBy("_bucket", "op").count().collect()
+            by_bucket: dict[str, dict[str, int]] = {}
+            for r in per_bucket:
+                kind = "delete" if r["op"] == "delete" else "upsert"
+                by_bucket.setdefault(str(r["_bucket"]), {}).setdefault(kind, 0)
+                by_bucket[str(r["_bucket"])][kind] += r["count"]
+                if kind == "delete":
+                    n_deletes += r["count"]
+                else:
+                    n_upserts += r["count"]
+            metrics["actions"] = {"append_upsert": n_upserts, "append_delete": n_deletes}
+            metrics["by_bucket"] = by_bucket
+
+        if watermark_seq is None:
+            wm_row = src.agg(F.max("event_seq")).first()
+            watermark_seq = wm_row[0] if wm_row[0] is not None else -1
+        watermark = max(m["watermark_seq"], watermark_seq)
+        src.unpersist()
+
+        deltas = dict(m.get("deltas", {}))
+        for b, fl in new_files.items():
+            deltas[b] = list(deltas.get(b, [])) + fl
+        self._commit({
+            **m,
+            "version": version,
+            "parent": m["version"],
+            "schema": new_schema.jsonValue(),
+            "deltas": deltas,
+            "applied_batches": m["applied_batches"] + ([batch_id] if batch_id else []),
+            "watermark_seq": watermark,
+            "metrics": {"op": "merge", "batch_id": batch_id, **metrics},
+        })
+        return MergeResult(
+            version, inserted=n_upserts, updated=0, deleted=n_deletes,
+            stale_skipped=0, touched_buckets=len(new_files),
         )
 
     # ------------------------------------------------------------- evolution
@@ -426,10 +567,12 @@ class LakeTable:
         return out
 
     def compact(self, *, drop_tombstones: bool = False) -> int:
-        """Rewrite all buckets into a fresh snapshot (small-file compaction);
-        optionally drop tombstones (safe once lateness horizon has passed)."""
+        """Fold pending MOR deltas into a clean base snapshot and rewrite
+        all buckets (small-file compaction); optionally drop tombstones
+        (safe once the lateness horizon has passed). This is the cadence
+        job that re-bounds MOR read cost."""
         m = self.manifest()
-        df = self._read_files(m).withColumn(
+        df = self._read_resolved(m).withColumn(
             "_bucket", self.bucket_expr(F.col(m["key"]), m["n_buckets"])
         )
         if drop_tombstones:
@@ -437,5 +580,5 @@ class LakeTable:
         version = m["version"] + 1
         files = self._write_snapshot(df.repartition(m["n_buckets"], "_bucket"), version)
         self._commit({**m, "version": version, "parent": m["version"],
-                      "files": files, "metrics": {"op": "compact"}})
+                      "files": files, "deltas": {}, "metrics": {"op": "compact"}})
         return version

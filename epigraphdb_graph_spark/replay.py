@@ -42,9 +42,11 @@ def apply_batch(
     *,
     batch_id: str | None = None,
     watermark_seq: int | None = None,
+    mode: str = "cow",
 ) -> MergeResult:
     return table.merge(
-        prepare_batch(events), batch_id=batch_id, watermark_seq=watermark_seq
+        prepare_batch(events), batch_id=batch_id, watermark_seq=watermark_seq,
+        mode=mode,
     )
 
 
@@ -56,11 +58,17 @@ def replay(
     n_batches: int = 1,
     n_buckets: int = 32,
     schema=None,
+    mode: str = "cow",
+    compact_every: int | None = None,
 ) -> list[MergeResult]:
     """Replay a change log into a (possibly new) pages table in
     ``n_batches`` ordered micro-batches split on event_seq ranges —
     the batch-mode emulation of tailing a binlog. Resumable: committed
-    batch ids are skipped."""
+    batch ids are skipped.
+
+    ``mode="mor"`` appends delta commits (O(batch) each) instead of COW
+    rewrites; ``compact_every=k`` folds deltas into the base every k
+    batches (the production cadence that bounds read amplification)."""
     if LakeTable.exists(table_path):
         table = LakeTable(spark, table_path)
     else:
@@ -92,6 +100,9 @@ def replay(
                 chunk,
                 batch_id=f"replay-{start:012d}-{end:012d}",
                 watermark_seq=end - 1,
+                mode=mode,
             )
         )
+        if compact_every and (b + 1) % compact_every == 0 and not results[-1].noop:
+            table.compact()
     return results

@@ -121,11 +121,20 @@ def merge_schemas(base: T.StructType, incoming: T.StructType) -> T.StructType:
     by_name = {f.name: f for f in base.fields}
     out = list(base.fields)
     for f_ in incoming.fields:
+        if isinstance(f_.dataType, T.NullType):
+            # an all-null column (e.g. a delete-only batch's html) carries
+            # no type information — defer to the declared type, or skip a
+            # net-new column until a typed value arrives
+            continue
         if f_.name in by_name:
-            if by_name[f_.name].dataType != f_.dataType:
+            existing = by_name[f_.name].dataType
+            if isinstance(existing, T.NullType):
+                i = next(idx for idx, x in enumerate(out) if x.name == f_.name)
+                out[i] = T.StructField(f_.name, f_.dataType, True)
+            elif existing != f_.dataType:
                 raise ContractError(
                     f"schema evolution: incompatible type change for "
-                    f"'{f_.name}': {by_name[f_.name].dataType} -> {f_.dataType}"
+                    f"'{f_.name}': {existing} -> {f_.dataType}"
                 )
         else:
             out.append(T.StructField(f_.name, f_.dataType, True))

@@ -49,6 +49,7 @@ def tail_change_log(
     schema=None,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    mode: str = "cow",
 ):
     """Tail ``log_dir`` (parquet change-event files) into the lake table at
     ``table_path``. Returns the StreamingQuery.
@@ -86,6 +87,7 @@ def tail_change_log(
             prepare_batch(batch_df),
             batch_id=f"stream-{ns}-{batch_id:012d}",
             watermark_seq=wm if wm is not None else -1,
+            mode=mode,
         )
         batch_df.unpersist()
 

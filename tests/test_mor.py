@@ -1,0 +1,126 @@
+"""Merge-on-read mode: delta commits + deferred LWW resolution must
+converge to exactly the COW/oracle state, under compaction, mixed modes,
+and idempotent re-apply."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from epigraphdb_graph_spark.plans.lake import LakeTable
+from epigraphdb_graph_spark.replay import apply_batch, replay
+from epigraphdb_graph_spark.sources.events import generate_change_events
+
+from .oracle import replay_oracle
+
+N_EVENTS = 3000
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    df = generate_change_events(
+        spark, N_EVENTS, seed=11, n_domains=30, pages_per_domain=12
+    ).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def oracle_state(events):
+    return replay_oracle(events.toPandas())
+
+
+def _state(spark, path) -> pd.DataFrame:
+    return (
+        LakeTable(spark, path).read()
+        .select("url", "warc_ts", "text")
+        .toPandas().sort_values("url").reset_index(drop=True)
+    )
+
+
+def _assert_equal(got: pd.DataFrame, want: pd.DataFrame):
+    assert len(got) == len(want)
+    assert list(got["url"]) == list(want["url"])
+    assert list(got["warc_ts"]) == list(want["warc_ts"])
+    assert list(got["text"]) == list(want["text"])
+
+
+def test_mor_replay_matches_oracle(spark, tmp_path, events, oracle_state):
+    path = str(tmp_path / "mor")
+    results = replay(spark, path, events, n_batches=5, n_buckets=8, mode="mor")
+    assert all(not r.noop for r in results)
+    table = LakeTable(spark, path)
+    assert any(table.manifest()["deltas"].values())  # deltas pending
+    _assert_equal(_state(spark, path), oracle_state)
+
+
+def test_mor_compact_preserves_state(spark, tmp_path, events, oracle_state):
+    path = str(tmp_path / "mor_compact")
+    replay(spark, path, events, n_batches=5, n_buckets=8, mode="mor",
+           compact_every=2)
+    table = LakeTable(spark, path)
+    # final batch (5th) left uncompacted deltas; compact the rest
+    table.compact()
+    m = table.manifest()
+    assert not any(m["deltas"].values())
+    _assert_equal(_state(spark, path), oracle_state)
+    ops = [h["metrics"].get("op") for h in table.history()]
+    assert ops.count("compact") >= 2
+
+
+def test_mor_then_cow_folds_deltas(spark, tmp_path, events, oracle_state):
+    """A COW merge over buckets with pending deltas must fold them in and
+    retire them (mixed-mode correctness)."""
+    path = str(tmp_path / "mixed")
+    half = events.filter(F.col("event_seq") < N_EVENTS // 2)
+    rest = events.filter(F.col("event_seq") >= N_EVENTS // 2)
+    replay(spark, path, half, n_batches=2, n_buckets=8, mode="mor")
+    table = LakeTable(spark, path)
+    assert any(table.manifest()["deltas"].values())
+    apply_batch(table, rest, batch_id="cow-tail", mode="cow")
+    # COW touched (almost surely) every bucket -> deltas retired there
+    m = table.manifest()
+    retired = sum(1 for b, fl in m["deltas"].items() if not fl)
+    assert retired >= 0  # structural: no crash; state is the real check
+    _assert_equal(_state(spark, path), oracle_state)
+
+
+def test_mor_idempotent_batches(spark, tmp_path, events, oracle_state):
+    path = str(tmp_path / "mor_idem")
+    replay(spark, path, events, n_batches=3, n_buckets=8, mode="mor")
+    table = LakeTable(spark, path)
+    v = table.current_version()
+    res = replay(spark, path, events, n_batches=3, n_buckets=8, mode="mor")
+    assert all(r.noop for r in res)
+    assert table.current_version() == v
+    _assert_equal(_state(spark, path), oracle_state)
+
+
+def test_mor_stale_events_lose_at_read(spark, tmp_path):
+    """A late stale update appended as a MOR delta must lose LWW resolution
+    at read time (no join ever ran to reject it)."""
+    rows = [
+        (1, "insert", "u", pd.Timestamp("2024-01-01"), b"<p>v1</p>"),
+        (2, "update", "u", pd.Timestamp("2024-01-05"), b"<p>v2</p>"),
+    ]
+    cols = ["event_seq", "op", "url", "warc_ts", "html"]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=cols))
+    from epigraphdb_graph_spark.schema import PAGES_SCHEMA
+
+    path = str(tmp_path / "mor_stale")
+    table = LakeTable.create(spark, path, PAGES_SCHEMA, key="url", n_buckets=4)
+    apply_batch(table, df, batch_id="b1", mode="mor")
+    stale = spark.createDataFrame(pd.DataFrame(
+        [(3, "update", "u", pd.Timestamp("2024-01-03"), b"<p>stale</p>")], columns=cols))
+    apply_batch(table, stale, batch_id="b2", mode="mor")
+    out = table.read().toPandas()
+    assert len(out) == 1 and out.loc[0, "text"] == "v2"
+    # delete delta tombstones the key even though v2 sits in an older delta
+    dele = spark.createDataFrame(pd.DataFrame(
+        [(4, "delete", "u", pd.Timestamp("2024-01-06"), None)], columns=cols))
+    apply_batch(table, dele, batch_id="b3", mode="mor")
+    assert table.read().count() == 0
+    # compact with drop_tombstones empties the table files
+    table.compact(drop_tombstones=True)
+    assert table.read().count() == 0
