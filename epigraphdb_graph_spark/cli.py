@@ -1,0 +1,164 @@
+"""spark-submit entry point.
+
+The reference pipeline is driven by ``snakemake -r all -j N`` shelling out
+per-dataset python processes (workflow/Snakefile:204-259); this engine is
+one Spark driver program, packaged for ``spark-submit --py-files``::
+
+    python -m epigraphdb_graph_spark.packaging   # builds dist/epigraphdb_graph_spark.zip
+    spark-submit --py-files dist/epigraphdb_graph_spark.zip \\
+        -m epigraphdb_graph_spark.cli replay --events 1000000 --table /data/pages
+
+(Driver-launched sessions also work from any cwd: session.get_spark ships
+the zip via addPyFile automatically.)
+
+Subcommands: replay (synthetic or parquet change log -> table),
+tail (Structured Streaming tailer), compact, show (state/history/metrics).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+
+
+def _spark(args):
+    from .session import get_spark
+
+    return get_spark("epigraphdb-graph-spark-cli", master=args.master,
+                     shuffle_partitions=args.shuffle_partitions)
+
+
+def cmd_replay(args) -> int:
+    from .plans.lake import LakeTable
+    from .replay import replay
+    from .sources.events import generate_change_events
+
+    spark = _spark(args)
+    if args.log_dir:
+        events = spark.read.parquet(args.log_dir)
+    else:
+        events = generate_change_events(
+            spark, args.events, seed=args.seed,
+            n_domains=args.domains, pages_per_domain=args.pages_per_domain,
+        )
+    t0 = time.perf_counter()
+    results = replay(
+        spark, args.table, events, n_batches=args.batches,
+        n_buckets=args.buckets, mode=args.mode, compact_every=args.compact_every,
+    )
+    wall = time.perf_counter() - t0
+    n_events = events.count()
+    table = LakeTable(spark, args.table)
+    out = {
+        "batches": [r.as_dict() for r in results],
+        "events": n_events,
+        "wall_s": round(wall, 3),
+        "events_per_sec": round(n_events / wall, 1) if wall > 0 else None,
+        "final_rows": table.read().count(),
+        "version": table.current_version(),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_tail(args) -> int:
+    from .streaming import tail_change_log
+
+    spark = _spark(args)
+    q = tail_change_log(
+        spark, args.log_dir, args.table, args.checkpoint,
+        n_buckets=args.buckets, mode=args.mode,
+        available_now=not args.follow,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    q.awaitTermination(args.timeout if args.timeout > 0 else None)
+    if args.follow:
+        q.stop()
+    return 0
+
+
+def cmd_compact(args) -> int:
+    from .plans.lake import LakeTable
+
+    spark = _spark(args)
+    table = LakeTable(spark, args.table)
+    v = table.compact(drop_tombstones=args.drop_tombstones)
+    print(json.dumps({"version": v, "rows": table.read().count()}))
+    return 0
+
+
+def cmd_show(args) -> int:
+    from .plans.lake import LakeTable
+    from .streaming import stream_metrics
+
+    spark = _spark(args)
+    table = LakeTable(spark, args.table)
+    m = table.manifest()
+    print(json.dumps({
+        "version": m["version"], "key": m["key"], "n_buckets": m["n_buckets"],
+        "watermark_seq": m["watermark_seq"],
+        "schema": [f.name for f in table.schema().fields],
+        "rows": table.read().count(),
+        "applied_batches": len(m["applied_batches"]),
+        "pending_delta_files": sum(len(v) for v in m.get("deltas", {}).values()),
+    }))
+    if args.history:
+        stream_metrics(table).show(100, False)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="epigraphdb_graph_spark.cli")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("replay", help="replay a change log (or synthetic events) into a lake table")
+    p.add_argument("--table", required=True)
+    p.add_argument("--log-dir", default=None, help="parquet change-log dir; omit for synthetic events")
+    p.add_argument("--events", type=int, default=100_000, help="synthetic event count")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--domains", type=int, default=200)
+    p.add_argument("--pages-per-domain", type=int, default=256)
+    p.add_argument("--batches", type=int, default=4)
+    p.add_argument("--buckets", type=int, default=32)
+    p.add_argument("--mode", choices=["cow", "mor"], default="cow")
+    p.add_argument("--compact-every", type=int, default=None)
+    _add_common(p)
+    p.set_defaults(fn=cmd_replay)
+
+    p = sub.add_parser("tail", help="Structured Streaming tailer over a change-log dir")
+    p.add_argument("--table", required=True)
+    p.add_argument("--log-dir", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--buckets", type=int, default=32)
+    p.add_argument("--mode", choices=["cow", "mor"], default="cow")
+    p.add_argument("--follow", action="store_true", help="keep tailing (default: drain available and stop)")
+    p.add_argument("--timeout", type=int, default=0, help="awaitTermination seconds (0 = forever)")
+    p.add_argument("--max-files-per-trigger", type=int, default=None)
+    _add_common(p)
+    p.set_defaults(fn=cmd_tail)
+
+    p = sub.add_parser("compact", help="fold MOR deltas / compact small files")
+    p.add_argument("--table", required=True)
+    p.add_argument("--drop-tombstones", action="store_true")
+    _add_common(p)
+    p.set_defaults(fn=cmd_compact)
+
+    p = sub.add_parser("show", help="table state, schema, lineage")
+    p.add_argument("--table", required=True)
+    p.add_argument("--history", action="store_true")
+    _add_common(p)
+    p.set_defaults(fn=cmd_show)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

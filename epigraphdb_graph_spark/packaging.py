@@ -31,3 +31,7 @@ def build_pyfiles_zip(dest: str | None = None) -> str:
                 rel = os.path.relpath(full, root)
                 zf.write(full, rel)
     return dest
+
+
+if __name__ == "__main__":
+    print(build_pyfiles_zip())
