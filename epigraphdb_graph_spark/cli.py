@@ -48,6 +48,20 @@ def cmd_replay(args) -> int:
             spark, args.events, seed=args.seed,
             n_domains=args.domains, pages_per_domain=args.pages_per_domain,
         )
+    if args.warmup:
+        # untimed warmup replay on a throwaway table: JIT/codegen + python
+        # UDF worker startup happen here, not inside the measured region
+        # (steady-state throughput is what the scaling criterion compares)
+        import shutil as _sh
+        import tempfile as _tmp
+
+        wdir = _tmp.mkdtemp(prefix="warmup_")
+        try:
+            replay(spark, f"{wdir}/t",
+                   generate_change_events(spark, 20_000, seed=1),
+                   n_batches=2, n_buckets=args.buckets, mode=args.mode)
+        finally:
+            _sh.rmtree(wdir, ignore_errors=True)
     t0 = time.perf_counter()
     results = replay(
         spark, args.table, events, n_batches=args.batches,
@@ -129,6 +143,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--buckets", type=int, default=32)
     p.add_argument("--mode", choices=["cow", "mor"], default="cow")
     p.add_argument("--compact-every", type=int, default=None)
+    p.add_argument("--warmup", action="store_true",
+                   help="untimed small replay first (JIT + python-worker startup)")
     _add_common(p)
     p.set_defaults(fn=cmd_replay)
 

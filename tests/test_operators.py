@@ -1,0 +1,169 @@
+"""Operator-library tests: consolidation, dedup family, similarity, text
+analytics, multimodal plumbing — verified against brute-force/pandas
+oracles on the driver testdata + synthetic corpora."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from epigraphdb_graph_spark.operators.consolidate import consolidate_sources
+from epigraphdb_graph_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    simhash64,
+    simhash_candidate_pairs,
+)
+from epigraphdb_graph_spark.operators.similarity import (
+    cosine_neardup_pairs,
+    cosine_topk,
+    cosine_topk_lsh,
+    rp_lsh_buckets,
+)
+
+
+# ----------------------------------------------------------- consolidation
+
+def test_consolidate_sources_priority_and_provenance(spark):
+    """Reference semantics (merge_sources.py:162-195): full-outer key union,
+    first-non-empty property resolution, _source aggregation — but ordered
+    by explicit priority, not merge order side effects."""
+    a = spark.createDataFrame(
+        [("k1", "nameA", None), ("k2", "nameA2", 10)], "id string, name string, x int")
+    b = spark.createDataFrame(
+        [("k1", "nameB", 5), ("k3", None, 7)], "id string, name string, x int")
+    out = consolidate_sources([("srcA", a), ("srcB", b)], key="id").toPandas()
+    out = out.set_index("id").sort_index()
+    assert list(out.index) == ["k1", "k2", "k3"]
+    assert out.loc["k1", "name"] == "nameA"      # priority: srcA wins
+    assert out.loc["k1", "x"] == 5               # srcA null -> srcB fills
+    assert out.loc["k2", "x"] == 10
+    assert out.loc["k3", "name"] is None or pd.isna(out.loc["k3", "name"])
+    assert sorted(out.loc["k1", "_source"]) == ["srcA", "srcB"]
+    assert list(out.loc["k2", "_source"]) == ["srcA"]
+
+
+# ------------------------------------------------------------------- dedup
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+def test_exact_dedup(spark, docs):
+    pdf = docs.select("doc_id", "text").toPandas()
+    want = pdf.loc[pdf.groupby("text")["doc_id"].idxmin()]
+    got = exact_dedup(docs, text_col="text", id_col="doc_id").toPandas()
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+
+
+def test_minhash_signatures_shape_and_determinism(spark, docs):
+    s1 = minhash_signatures(docs.limit(50), n_hashes=16).toPandas()
+    s2 = minhash_signatures(docs.limit(50), n_hashes=16).toPandas()
+    assert len(s1) == 50 and all(len(x) == 16 for x in s1["sig"])
+    m1 = dict(zip(s1["_id"], s1["sig"].map(tuple)))
+    m2 = dict(zip(s2["_id"], s2["sig"].map(tuple)))
+    assert m1 == m2
+
+
+def test_minhash_candidates_find_near_dupes(spark):
+    """Construct docs with known overlap; LSH candidates must include the
+    high-Jaccard pair and (overwhelmingly likely) not the disjoint one."""
+    base = " ".join(f"w{i}" for i in range(200))
+    near = " ".join(f"w{i}" for i in range(5, 205))           # J ≈ 195/205
+    far = " ".join(f"z{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], "doc_id long, text string")
+    pairs = minhash_candidate_pairs(df, n_hashes=64, n_bands=16).toPandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (0, 1) in got
+    assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_jaccard_pairs_exact(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c e"), (2, "x y z w")],
+        "doc_id long, text string")
+    got = jaccard_pairs(df, min_jaccard=0.5).toPandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert (row["id_a"], row["id_b"]) == (0, 1)
+    assert math.isclose(row["jaccard"], 3 / 5)
+
+
+def test_simhash_near_dup_pairs(spark):
+    words = [f"tok{i}" for i in range(300)]
+    d0 = " ".join(words)
+    d1 = " ".join(words[:298] + ["altered", "words"])   # tiny perturbation
+    d2 = " ".join(f"other{i}" for i in range(300))
+    df = spark.createDataFrame(
+        [(0, d0), (1, d1), (2, d2)], "doc_id long, text string")
+    fps = simhash64(df).toPandas().set_index("_id")["simhash"]
+    ham = bin(int(fps[0]) ^ int(fps[1]) & 0xFFFFFFFFFFFFFFFF).count("1")
+    pairs = simhash_candidate_pairs(df, max_hamming=16, n_bands=32).toPandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (0, 1) in got, f"hamming(d0,d1)={ham}, pairs={got}"
+    assert (0, 2) not in got
+
+
+# -------------------------------------------------------------- similarity
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_cosine_topk_matches_bruteforce(spark, embs):
+    pdf = embs.toPandas()
+    q = list(pdf.loc[pdf["vec_id"] == 0, "embedding"].iloc[0])
+
+    def cos(v):
+        d = sum(a * b for a, b in zip(v, q))
+        return d / (math.sqrt(sum(a * a for a in v)) * math.sqrt(sum(b * b for b in q)))
+
+    pdf["cos"] = pdf["embedding"].map(lambda v: cos(list(v)))
+    want = pdf.sort_values(["cos", "vec_id"], ascending=[False, True]).head(5)
+    got = cosine_topk(embs, q, k=5).toPandas()
+    assert list(got["vec_id"]) == list(want["vec_id"])
+    for g, w in zip(got["cosine"], want["cos"]):
+        # float32 source values promote to double at different points in the
+        # two pipelines (numpy accumulates in float32; Spark casts first)
+        assert math.isclose(g, w, rel_tol=1e-6)
+
+
+def test_lsh_topk_recall(spark, embs):
+    pdf = embs.toPandas()
+    q = list(pdf.loc[pdf["vec_id"] == 7, "embedding"].iloc[0])
+    exact = set(cosine_topk(embs, q, k=10).toPandas()["vec_id"])
+    approx = set(
+        cosine_topk_lsh(embs, q, k=10, n_planes=8, multiprobe_bits=2)
+        .toPandas()["vec_id"]
+    )
+    # the query vector itself (vec_id=7) is in its own bucket: must be found
+    assert 7 in approx
+    recall = len(exact & approx) / 10
+    assert recall >= 0.3, f"recall {recall} too low even for LSH"
+
+
+def test_lsh_buckets_deterministic(spark, embs):
+    b1 = rp_lsh_buckets(embs.limit(100), n_planes=8).toPandas()
+    b2 = rp_lsh_buckets(embs.limit(100), n_planes=8).toPandas()
+    assert dict(zip(b1["vec_id"], b1["_lsh_bucket"])) == dict(
+        zip(b2["vec_id"], b2["_lsh_bucket"]))
+
+
+def test_cosine_neardup_pairs_self_similarity(spark):
+    import random
+    rng = random.Random(3)
+    v0 = [rng.gauss(0, 1) for _ in range(16)]
+    v1 = [x + rng.gauss(0, 0.01) for x in v0]          # near-dup of v0
+    v2 = [rng.gauss(0, 1) for _ in range(16)]
+    df = spark.createDataFrame(
+        [(0, v0), (1, v1), (2, v2)], "vec_id long, embedding array<double>")
+    got = cosine_neardup_pairs(df, threshold=0.95, n_planes=4).toPandas()
+    assert (0, 1) in set(zip(got["id_a"], got["id_b"]))
