@@ -810,7 +810,122 @@ def q37(spark, sf):
     )
 
 
+@_q("q27_consolidate_sources", """
+SELECT COALESCE(a.k, b.k) AS k,
+       COALESCE(a.name, NULL) AS name,
+       b.n_cust AS n_cust,
+       CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL THEN 'cust_stats;nations'
+            WHEN a.k IS NOT NULL THEN 'nations' ELSE 'cust_stats' END AS sources
+FROM (SELECT n_nationkey AS k, n_name AS name FROM nation) a
+FULL OUTER JOIN
+     (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1) b
+ON a.k = b.k
+""")
+def q27(spark, sf):
+    """Multi-source consolidation through the library operator (ref J5/A4:
+    graph_build/merge_sources.py:162-195 — priority first-non-null +
+    provenance collection in ONE shuffle instead of N-way outer joins)."""
+    from epigraphdb_graph_spark.operators.consolidate import consolidate_sources
+
+    nations = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("k"), F.col("n_name").alias("name"))
+    cust = _t(spark, sf, "customer").groupBy(
+        F.col("c_nationkey").alias("k")).agg(F.count("*").alias("n_cust"))
+    out = consolidate_sources([("nations", nations), ("cust_stats", cust)], key="k")
+    return out.select(
+        "k", "name", "n_cust",
+        F.array_join(F.sort_array(F.col("_source")), ";").alias("sources"),
+    )
+
+
+@_q("q38_text_quality", """
+SELECT source,
+       CAST(SUM(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0))) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS ws_tokens,
+       CAST(SUM(floor(1000.0 * (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) / greatest(length(text), 1))) AS BIGINT) AS punct_milli
+FROM documents GROUP BY source
+""")
+def q38(spark, sf):
+    """Text-quality statistics via functions/text.py column expressions
+    (training-data pipeline; all whole-stage-codegen, no UDFs).
+    Milli-quantized ratio sums for cross-engine exactness."""
+    from epigraphdb_graph_spark.functions.text import (
+        bpe_token_count, punct_ratio, ws_token_count)
+
+    d = _t(spark, sf, "documents")
+    return d.groupBy("source").agg(
+        F.sum(bpe_token_count(F.col("text"))).cast("bigint").alias("bpe_tokens"),
+        F.sum(ws_token_count(F.col("text"))).cast("bigint").alias("ws_tokens"),
+        F.sum(F.floor(punct_ratio(F.col("text")) * 1000)).cast("bigint").alias("punct_milli"),
+    )
+
+
 # -------------------------------------------- non-SQL-expressible (rows-only)
+
+
+@_q("q28_minhash_lsh_pairs")  # engine-specific xxhash64 banding; q34 carries
+def q28(spark, sf):           # the portable-md5 oracle for the same semantics
+    """Scale-path MinHash-LSH candidate pairs (operators/dedup.py): banded
+    bucket join, never an all-pairs crossjoin."""
+    from epigraphdb_graph_spark.operators.dedup import minhash_candidate_pairs
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return minhash_candidate_pairs(d, n_hashes=32, n_bands=8)
+
+
+@_q("q29_simhash_pairs")  # xxhash64 fingerprint — rows-only
+def q29(spark, sf):
+    """SimHash near-dup pairs within hamming<=12 via pigeonhole banding
+    (operators/dedup.py.simhash_candidate_pairs)."""
+    from epigraphdb_graph_spark.operators.dedup import simhash_candidate_pairs
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return simhash_candidate_pairs(d, max_hamming=12, n_bands=16)
+
+
+@_q("q39_ann_lsh")  # plane hashes engine-specific; exact baseline q36 has oracle
+def q39(spark, sf):
+    """Multi-probe RP-LSH approximate top-k (operators/similarity.py) —
+    the bucket-pruned scale path of q36's brute-force cosine."""
+    from epigraphdb_graph_spark.operators.similarity import cosine_topk_lsh
+
+    e = _t(spark, sf, "embeddings")
+    row = e.filter(F.col("vec_id") == 0).select("embedding").first()
+    q = [float(x) for x in row["embedding"]]
+    return cosine_topk_lsh(
+        e.filter(F.col("vec_id") != 0), q, k=10, n_planes=8, multiprobe_bits=2)
+
+
+@_q("q42_multimodal_features")  # mapInPandas stub decode — rows-only
+def q42(spark, sf):
+    """Multimodal feature extraction plumbing: synthetic binary media ->
+    Arrow-batched mapInPandas features (functions/multimodal.py; decode
+    kernel stubbed, batch/schema/partition plumbing real)."""
+    from epigraphdb_graph_spark.functions.multimodal import (
+        extract_features, synthesize_media)
+
+    media = synthesize_media(spark, 500, seed=42)
+    return extract_features(media, batch_rows=128).select(
+        "id", "kind", "n_bytes", F.size("feature").alias("feat_dim"))
+
+
+@_q("q43_doc_fingerprints")  # xxhash64 winnowing — rows-only
+def q43(spark, sf):
+    """Winnowing fingerprints -> shared-passage containment pairs
+    (functions/text.py.rolling_fingerprints): explode + self-join on the
+    fingerprint hash (shuffle on hash, crossjoin never materializes)."""
+    from epigraphdb_graph_spark.functions.text import rolling_fingerprints
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    fp = d.select(
+        "doc_id", F.explode(rolling_fingerprints(F.col("text"), window=6, keep_mod=4)).alias("fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared_fingerprints"))
+    )
 
 @_q("q40_extraction_udf")  # no oracle: pandas UDF + engine fn; byte-identity
 def q40(spark, sf):         # is separately pytest-verified vs the shared fn

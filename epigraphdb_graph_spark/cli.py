@@ -47,6 +47,7 @@ def cmd_replay(args) -> int:
         events = generate_change_events(
             spark, args.events, seed=args.seed,
             n_domains=args.domains, pages_per_domain=args.pages_per_domain,
+            body_repeat=args.body_repeat,
         )
     if args.warmup:
         # untimed warmup replay on a throwaway table: JIT/codegen + python
@@ -139,6 +140,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--domains", type=int, default=200)
     p.add_argument("--pages-per-domain", type=int, default=256)
+    p.add_argument("--body-repeat", type=int, default=1,
+                   help="page-size multiplier (~70B x repeat; 100+ = CC-realistic KB pages)")
     p.add_argument("--batches", type=int, default=4)
     p.add_argument("--buckets", type=int, default=32)
     p.add_argument("--mode", choices=["cow", "mor"], default="cow")

@@ -8,10 +8,13 @@ per-key LWW over ``(warc_ts, event_seq)``.
 Two physical strategies:
 
 - ``lww_dedup_agg`` (default): ``max_by(struct(<row>), struct(ts, seq))``.
-  Hash aggregation with **map-side partial combine** — a hot key (Zipf
-  domain) collapses to one row per map task before the shuffle, so skew
-  can't create straggler reducers. Also avoids the per-partition sort a
-  window needs. This is the scale path.
+  Aggregation with **map-side partial combine** — a hot key (Zipf domain)
+  collapses to one row per map task before the shuffle, so skew can't
+  create straggler reducers, and the exchange carries one row per
+  (task, key) instead of every raw event. (Physically Spark lowers the
+  struct-buffered max_by to SortAggregate — a partition-local sort — but
+  the combine-before-shuffle property is what matters for skew; verified
+  in tests/test_plans.py.) This is the scale path.
 - ``lww_dedup_window``: the classic ``row_number() over (partition by key
   order by ts desc, seq desc) = 1``. Kept for parity/readability and as
   the oracle-matching SQL form; requires a full sort of each key's rows

@@ -60,6 +60,7 @@ def generate_change_events(
     lateness_s: int = 3600,
     with_lang: bool = False,
     num_partitions: int | None = None,
+    body_repeat: int = 1,
 ) -> DataFrame:
     """Return a DataFrame of ``n_events`` change events (schema:
     ``schema.CHANGE_EVENT_SCHEMA`` + optional ``lang``).
@@ -67,6 +68,12 @@ def generate_change_events(
     ``event_seq`` == row id (globally monotone). Key universe is
     ``n_domains * pages_per_domain`` urls with Zipf(s≈1) skew across
     domains, so a few domains absorb most updates (hot keys).
+
+    ``body_repeat`` repeats the body paragraph to reach realistic
+    Common-Crawl page sizes (~70 bytes x repeat): benchmark runs use
+    100-150 (KB-scale pages) so shuffle/extraction/write are sized like
+    production; the default 1 keeps test fixtures small and preserves
+    their historical byte-exact content.
     """
     rng = spark.range(0, n_events, numPartitions=num_partitions)
     i = F.col("id")
@@ -103,11 +110,14 @@ def generate_change_events(
         F.transform(F.sequence(F.lit(1), n_body), lambda k: word_at(6, k)), " "
     )
     title = F.concat_ws(" ", word_at(7), word_at(8))
+    paragraph = F.concat(F.lit("<p>"), body, F.lit("</p>"))
+    if body_repeat > 1:
+        paragraph = F.repeat(paragraph, body_repeat)
     html_str = F.concat(
         F.lit("<html><head><title>"), title,
         F.lit('</title></head><body><h1 class="hd">'), title,
-        F.lit("</h1><p>"), body,
-        F.lit("</p><p>page "), page, F.lit(" of d"), domain,
+        F.lit("</h1>"), paragraph,
+        F.lit("<p>page "), page, F.lit(" of d"), domain,
         F.lit("</p></body></html>"),
     )
     html = F.when(op == "delete", F.lit(None).cast("binary")).otherwise(
