@@ -58,9 +58,14 @@ def cmd_replay(args) -> int:
 
         wdir = _tmp.mkdtemp(prefix="warmup_")
         try:
+            # full-shape dress rehearsal: one batch of the SAME size and
+            # page shape as a real batch, so codegen, python-worker arena
+            # growth, and heap expansion all happen before the timed region
+            warmup_n = min(max(args.events // args.batches, 20_000), 400_000)
             replay(spark, f"{wdir}/t",
-                   generate_change_events(spark, 20_000, seed=1),
-                   n_batches=2, n_buckets=args.buckets, mode=args.mode)
+                   generate_change_events(spark, warmup_n, seed=1,
+                                          body_repeat=args.body_repeat),
+                   n_batches=1, n_buckets=args.buckets, mode=args.mode)
         finally:
             _sh.rmtree(wdir, ignore_errors=True)
     t0 = time.perf_counter()

@@ -197,11 +197,27 @@ class LakeTable:
         if not any(deltas.get(str(b)) for b in wanted):
             return base
         delta_df = self._read_files(manifest, buckets, file_schema, which="deltas")
-        from ..operators.lww import lww_dedup_agg
-
         key = manifest["key"]
-        return lww_dedup_agg(
-            base.unionByName(delta_df), key=key, ts_col="_ts", seq_col="_seq"
+        union = base.unionByName(delta_df)
+
+        # Two-pass resolution that never shuffles full row images:
+        # 1. winners: column-pruned scan (key, _ts, _seq only — parquet
+        #    reads 3 columns) -> fixed-width hash agg, tiny shuffle;
+        # 2. join winners back on (key, _ts, _seq) — _seq is unique, so
+        #    exactly one row survives per key. AQE sees the small winner
+        #    relation at runtime and picks a broadcast join, so the full
+        #    rows stream map-side. (The max_by alternative sort-aggregates
+        #    whole pages through the exchange — O(data) shuffle.)
+        winners = union.groupBy(F.col(key).alias("_wk")).agg(
+            F.max(F.struct("_ts", "_seq")).alias("_w")
+        )
+        return (
+            union.join(
+                winners,
+                (F.col(key) == F.col("_wk"))
+                & (F.struct("_ts", "_seq") == F.col("_w")),
+            )
+            .drop("_wk", "_w")
         )
 
     def read(self, version: int | None = None, *, with_system_cols: bool = False) -> DataFrame:
@@ -332,17 +348,22 @@ class LakeTable:
                 # e.g. an all-null (NullType) column in a delete-only batch
                 src = src.withColumn(c, F.col(c).cast(typ[c]))
         src = src.withColumn("_bucket", self.bucket_expr(F.col(key), n_buckets))
-        # persist: the updates lineage (dedup + extraction UDF) is consumed
-        # by three actions (touched-buckets, merge write, watermark) — run
-        # the expensive upstream exactly once
-        src = src.persist()
 
         if mode == "mor":
+            # no persist: the write pass streams source->UDF->parquet once,
+            # and the metrics/watermark passes are column-pruned recomputes
+            # (no html, no UDF) — caching full row images here would add
+            # O(batch) memory traffic for nothing
             return self._merge_mor(
                 m, src, all_cols, new_schema,
                 batch_id=batch_id, collect_metrics=collect_metrics,
                 watermark_seq=watermark_seq,
             )
+
+        # persist (COW): the updates lineage (dedup + extraction UDF) is
+        # consumed by three actions (touched-buckets, merge write, metrics
+        # recompute's source side) — run the expensive upstream exactly once
+        src = src.persist()
 
         # ---- bucket pruning: only read buckets this batch touches.
         # Read with the *evolved* file schema: pre-evolution files null-fill
@@ -478,10 +499,13 @@ class LakeTable:
         collect_metrics: bool,
         watermark_seq: int | None,
     ) -> MergeResult:
-        """Merge-on-read commit: append the deduped batch as per-bucket
-        delta files. O(batch) — no target read, no join; per-key LWW
-        resolution is deferred to _read_resolved/compact (Hudi/Iceberg-v2
-        MOR analog). ``src`` arrives persisted, bucketed, schema-conformed."""
+        """Merge-on-read commit: append the batch as per-bucket delta
+        files. O(batch) — no target read, no join; per-key LWW resolution
+        is deferred to _read_resolved/compact (Hudi/Iceberg-v2 MOR analog).
+        ``src`` arrives bucketed and schema-conformed, NOT persisted (side
+        passes below are column-pruned recomputes — no html, no UDF), and
+        may hold multiple rows per key (the fast path skips in-batch
+        dedup; resolution orders by (_ts,_seq) regardless)."""
         version = m["version"] + 1
         out = (
             src.withColumn("_seq", F.col("event_seq"))
@@ -493,7 +517,6 @@ class LakeTable:
             out.repartition(m["n_buckets"], "_bucket"), version, kind="delta"
         )
         if not new_files:  # empty batch: ledger-only commit (cf. COW path)
-            src.unpersist()
             if batch_id is not None:
                 self._commit({**m, "version": version, "parent": m["version"],
                               "applied_batches": m["applied_batches"] + [batch_id],
@@ -522,7 +545,6 @@ class LakeTable:
             wm_row = src.agg(F.max("event_seq")).first()
             watermark_seq = wm_row[0] if wm_row[0] is not None else -1
         watermark = max(m["watermark_seq"], watermark_seq)
-        src.unpersist()
 
         deltas = dict(m.get("deltas", {}))
         for b, fl in new_files.items():

@@ -29,11 +29,19 @@ from .plans.lake import LakeTable, MergeResult
 from .schema import PAGES_SCHEMA
 
 
-def prepare_batch(events: DataFrame) -> DataFrame:
-    """Dedup a raw change-event batch per key (LWW), then run html→text
-    extraction on the surviving rows only (never on superseded events)."""
-    deduped = lww_dedup_agg(events, key="url", ts_col="warc_ts", seq_col="event_seq")
-    return deduped.withColumn("text", extract_text_udf(F.col("html")))
+def prepare_batch(events: DataFrame, *, dedup: bool = True) -> DataFrame:
+    """Prepare a raw change-event batch: optional per-key LWW dedup, then
+    html→text extraction.
+
+    ``dedup=True`` (COW requirement: the MERGE join picks exactly one
+    source row per key) also means extraction only runs on surviving rows.
+    ``dedup=False`` is the MOR fast path: delta resolution happens at
+    read/compact anyway, so the in-batch dedup shuffle (full row images!)
+    is pure overhead — skipping it halves merge-time shuffle volume at the
+    cost of extracting superseded events too (bounded by batch size)."""
+    if dedup:
+        events = lww_dedup_agg(events, key="url", ts_col="warc_ts", seq_col="event_seq")
+    return events.withColumn("text", extract_text_udf(F.col("html")))
 
 
 def apply_batch(
@@ -45,7 +53,8 @@ def apply_batch(
     mode: str = "cow",
 ) -> MergeResult:
     return table.merge(
-        prepare_batch(events), batch_id=batch_id, watermark_seq=watermark_seq,
+        prepare_batch(events, dedup=(mode == "cow")),
+        batch_id=batch_id, watermark_seq=watermark_seq,
         mode=mode,
     )
 

@@ -49,6 +49,9 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # preallocate heap: in single-JVM local mode the first heavy batch
+        # otherwise pays tens of seconds of incremental heap growth + GC
+        .config("spark.driver.extraJavaOptions", "-Xms8g")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # v2 commit: task-side file moves (the v1 driver-side serial rename

@@ -1,0 +1,137 @@
+"""Source readers — the reference's scan inventory (SURVEY.md §2.1), Spark-first.
+
+Each reader mirrors one scan shape found in the reference's 67 processing
+scripts, as a thin declarative wrapper over ``spark.read`` so Catalyst
+keeps pushdown/pruning:
+
+- S1 delimited scan with the reference's variant knobs (sep, gzip
+  transparent, comment-skip, malformed-drop): ``read_delimited``
+  (ref: pd.read_csv calls, e.g. processing/nodes/gwas/opengwas.py:29,
+  rels/variant_to_gene.py:49, nodes/drug/cpic.py:29)
+- S2 headerless scan + schema-by-position: ``read_headerless``
+  (ref: create_df, utils/general.py:248-262 — but typed, not dtype=str)
+- S3 JSON document scan + record explode: ``read_json_records``
+  (ref: Mondo ontology walk, nodes/disease/mondo.py:52-91)
+- S8 wide-matrix scan + unpivot to long: ``read_wide_matrix``
+  (ref: GTEx GCT melt, rels/tissue-gene-gtex.py:29-41)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_delimited(
+    spark: SparkSession,
+    path: str,
+    *,
+    sep: str = ",",
+    header: bool = True,
+    schema: T.StructType | None = None,
+    comment: str | None = None,
+    drop_malformed: bool = False,
+) -> DataFrame:
+    """Delimited scan covering the reference's pd.read_csv variants.
+    gzip is transparent (as in pandas); ``drop_malformed`` maps
+    error_bad_lines=False. (skiprows only ever appears in the reference's
+    wide-matrix GCT scan — handled in read_wide_matrix.)"""
+    reader = (
+        spark.read.option("sep", sep)
+        .option("header", str(header).lower())
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    if comment:
+        reader = reader.option("comment", comment)
+    if drop_malformed:
+        reader = reader.option("mode", "DROPMALFORMED")
+    return reader.csv(path)
+
+
+def read_headerless(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | T.StructType,
+    *,
+    sep: str = ",",
+    usecols: list[str] | None = None,
+) -> DataFrame:
+    """Headerless scan with schema-by-position (ref create_df,
+    utils/general.py:248-262). Unlike the reference's dtype=str read, a
+    typed StructType keeps real types end-to-end; passing a plain name
+    list falls back to all-string (the reference's exact behavior)."""
+    if isinstance(columns, T.StructType):
+        schema = columns
+    else:
+        schema = T.StructType(
+            [T.StructField(c, T.StringType(), True) for c in columns]
+        )
+    df = spark.read.schema(schema).option("sep", sep).option("header", "false").csv(path)
+    if usecols:
+        df = df.select(*usecols)  # column pruning reaches the scan
+    return df
+
+
+def read_json_records(
+    spark: SparkSession,
+    path: str,
+    record_path: str,
+    *,
+    multi_line: bool = True,
+) -> DataFrame:
+    """Whole-document JSON scan + explode of a nested record array
+    (ref Mondo: graphs[0].nodes — nodes/disease/mondo.py:52-55).
+    ``record_path`` like ``"graphs[0].nodes"``; returns one row per
+    record with the record struct in column ``record``."""
+    df = spark.read.option("multiLine", str(multi_line).lower()).json(path)
+    # resolve a simple a[i].b[...] path
+    cur = None
+    for part in record_path.replace("]", "").replace("[", ".").split("."):
+        if cur is None:
+            cur = F.col(part)
+        elif part.isdigit():
+            cur = cur.getItem(int(part))
+        else:
+            cur = cur.getField(part)
+    return df.select(F.explode(cur).alias("record"))
+
+
+def read_wide_matrix(
+    spark: SparkSession,
+    path: str,
+    *,
+    id_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+    sep: str = "\t",
+    skip_rows: int = 0,
+    value_type: str = "double",
+) -> DataFrame:
+    """Wide matrix -> long triples (ref GTEx GCT melt: 2 metadata lines
+    skipped, tissues as columns — nodes/tissue/gtex.py:28-34,
+    rels/tissue-gene-gtex.py:29-41): skip the metadata prefix, take the
+    next line as the header, ``unpivot`` every non-id column. unpivot is
+    a zero-shuffle narrow op; the prefix skip is a text read + from_csv
+    (pure DataFrame ops — no RDDs)."""
+    if skip_rows == 0:
+        df = read_delimited(spark, path, sep=sep, header=True)
+    else:
+        txt = spark.read.text(path).withColumn(
+            "_rn", F.monotonically_increasing_id())
+        hdr_line = (
+            txt.filter(F.col("_rn") >= skip_rows).orderBy("_rn").first()["value"]
+        )
+        names = hdr_line.split(sep)
+        ddl = ", ".join(f"`{n}` STRING" for n in names)
+        df = (
+            txt.filter(F.col("_rn") > skip_rows)
+            .select(F.from_csv("value", ddl, {"sep": sep}).alias("r"))
+            .select("r.*")
+        )
+    value_cols = [c for c in df.columns if c not in id_cols]
+    out = df.unpivot(id_cols, value_cols, var_name, value_name)
+    return out.withColumn(value_name, F.col(value_name).cast(value_type))

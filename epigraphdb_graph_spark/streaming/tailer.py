@@ -84,7 +84,7 @@ def tail_change_log(
         # may drop the max-seq event, so merge's fallback would under-report
         wm = batch_df.agg(F.max("event_seq")).first()[0]
         table.merge(
-            prepare_batch(batch_df),
+            prepare_batch(batch_df, dedup=(mode == "cow")),
             batch_id=f"stream-{ns}-{batch_id:012d}",
             watermark_seq=wm if wm is not None else -1,
             mode=mode,

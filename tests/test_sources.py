@@ -1,0 +1,151 @@
+"""Source readers + ingest lifecycle (reference §2.1 scans / §3.2 flow)."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from epigraphdb_graph_spark.schema import ContractError, TableContract
+from epigraphdb_graph_spark.sources.ingest import Dataset, ingest, ingest_all
+from epigraphdb_graph_spark.sources.readers import (
+    read_delimited,
+    read_headerless,
+    read_json_records,
+    read_wide_matrix,
+)
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("srcdata")
+    # gzipped csv with header (S1)
+    with gzip.open(d / "genes.csv.gz", "wt") as f:
+        f.write("gene_id,symbol,score\nG1,ABC,1.5\nG2,DEF,2.5\n#junk,x,9\nG3,GHI,3.5\n")
+    # headerless tsv (S2)
+    (d / "map.tsv").write_text("P1\tU1\nP2\tU2\n")
+    # nested json document (S3, Mondo-shaped)
+    (d / "onto.json").write_text(json.dumps({
+        "graphs": [{"nodes": [
+            {"id": "D1", "lbl": "disease one", "type": "CLASS"},
+            {"id": "D2", "lbl": "disease two", "type": "PROPERTY"},
+        ]}]
+    }))
+    # wide matrix with 2 metadata lines (S8, GCT-shaped)
+    (d / "expr.gct").write_text(
+        "#1.2\n2\t3\ngene_id\tliver\tlung\tbrain\nG1\t1.0\t2.0\t3.0\nG2\t4.0\t5.0\t6.0\n")
+    return str(d)
+
+
+def test_read_delimited_gzip_comment(spark, data_dir):
+    df = read_delimited(spark, f"{data_dir}/genes.csv.gz", comment="#")
+    rows = df.orderBy("gene_id").collect()
+    assert [r["gene_id"] for r in rows] == ["G1", "G2", "G3"]
+    assert rows[0]["score"] == 1.5  # inferred double
+
+
+def test_read_headerless_positional(spark, data_dir):
+    df = read_headerless(spark, f"{data_dir}/map.tsv", ["protein", "uniprot"], sep="\t")
+    assert df.schema["protein"].dataType == T.StringType()
+    assert {(r["protein"], r["uniprot"]) for r in df.collect()} == {
+        ("P1", "U1"), ("P2", "U2")}
+    pruned = read_headerless(
+        spark, f"{data_dir}/map.tsv", ["protein", "uniprot"], sep="\t",
+        usecols=["uniprot"])
+    assert pruned.columns == ["uniprot"]
+
+
+def test_read_json_records_explode_filter(spark, data_dir):
+    """Mondo pattern: explode graphs[0].nodes then filter type=='CLASS'
+    (ref nodes/disease/mondo.py:52-66 / SURVEY P9)."""
+    recs = read_json_records(spark, f"{data_dir}/onto.json", "graphs[0].nodes")
+    keep = recs.filter(F.col("record.type") == "CLASS").select(
+        F.col("record.id").alias("id"), F.col("record.lbl").alias("label"))
+    assert keep.collect()[0].asDict() == {"id": "D1", "label": "disease one"}
+
+
+def test_read_wide_matrix_skip_and_unpivot(spark, data_dir):
+    long = read_wide_matrix(
+        spark, f"{data_dir}/expr.gct", id_cols=["gene_id"],
+        var_name="tissue", value_name="tpm", sep="\t", skip_rows=2)
+    pdf = long.toPandas().sort_values(["gene_id", "tissue"]).reset_index(drop=True)
+    assert len(pdf) == 6
+    assert list(pdf.columns) == ["gene_id", "tissue", "tpm"]
+    assert pdf.loc[0].tolist() == ["G1", "brain", 3.0]
+
+
+def test_ingest_lifecycle_with_contract(spark, data_dir):
+    contract = TableContract(
+        name="gene",
+        schema=T.StructType([
+            T.StructField("gene_id", T.StringType(), False),
+            T.StructField("symbol", T.StringType(), True),
+            T.StructField("score", T.DoubleType(), True),
+        ]),
+        key="gene_id",
+        required=["gene_id"],
+    )
+    ds = Dataset(
+        meta_id="gene-test", source="testsrc",
+        reader=lambda s: read_delimited(s, f"{data_dir}/genes.csv.gz", comment="#"),
+        contract=contract, id_prop="gene_id", name_prop="symbol",
+    )
+    out = ingest(spark, ds).orderBy("gene_id").collect()
+    assert [r["_id"] for r in out] == ["G1", "G2", "G3"]
+    assert out[0]["_name"] == "ABC"
+    assert out[0]["_source"] == ["testsrc"]
+
+
+def test_ingest_rejects_undeclared_and_dupes(spark, data_dir):
+    bad_contract = TableContract(
+        name="gene",
+        schema=T.StructType([T.StructField("gene_id", T.StringType(), False)]),
+        key="gene_id", required=["gene_id"],
+    )
+    ds = Dataset(
+        meta_id="g", source="s",
+        reader=lambda s: read_delimited(s, f"{data_dir}/genes.csv.gz", comment="#"),
+        contract=bad_contract,
+    )
+    with pytest.raises(ContractError, match="undeclared"):
+        ingest(spark, ds)
+
+    dup = Dataset(
+        meta_id="g", source="s",
+        reader=lambda s: s.createDataFrame(
+            [("G1",), ("G1",)], "gene_id string"),
+        contract=bad_contract,
+    )
+    with pytest.raises(ContractError, match="duplicate"):
+        ingest(spark, dup)
+
+
+def test_ingest_all_consolidates(spark, data_dir):
+    c1 = TableContract(
+        name="gene",
+        schema=T.StructType([
+            T.StructField("gene_id", T.StringType(), False),
+            T.StructField("symbol", T.StringType(), True),
+            T.StructField("score", T.DoubleType(), True),
+        ]),
+        key="gene_id",
+    )
+    ds1 = Dataset(
+        meta_id="a", source="srcA",
+        reader=lambda s: read_delimited(s, f"{data_dir}/genes.csv.gz", comment="#"),
+        contract=c1,
+    )
+    ds2 = Dataset(
+        meta_id="b", source="srcB",
+        reader=lambda s: s.createDataFrame(
+            [("G1", "OVERRIDDEN", 9.0), ("G9", "NEW", 7.0)],
+            "gene_id string, symbol string, score double"),
+    )
+    out = ingest_all(spark, [ds1, ds2], key="gene_id").toPandas().set_index("gene_id")
+    assert out.loc["G1", "symbol"] == "ABC"          # priority: srcA first
+    assert out.loc["G9", "symbol"] == "NEW"
+    assert sorted(out.loc["G1", "_source"]) == ["srcA", "srcB"]
