@@ -53,8 +53,9 @@ def test_salted_repartition_balances_partitions(spark):
         r["count"] for r in
         plain.groupBy(F.spark_partition_id().alias("p")).count().collect()
     ]
+    hot = detect_hot_keys(ev, "domain", sample_fraction=1.0, hot_multiplier=3.0)
     salted = salted_repartition(ev, "domain", n_partitions=8, n_salts=8,
-                                hot_keys=["d0"])
+                                hot_keys=hot)
     salted_sizes = [
         r["count"] for r in
         salted.groupBy(F.spark_partition_id().alias("p")).count().collect()
