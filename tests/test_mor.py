@@ -97,6 +97,38 @@ def test_mor_idempotent_batches(spark, tmp_path, events, oracle_state):
     _assert_equal(_state(spark, path), oracle_state)
 
 
+def test_mor_schema_evolution_mid_stream(spark, tmp_path):
+    """lang appears mid-replay while commits are MOR deltas: pre-evolution
+    delta files lack the column and must null-fill through the resolving
+    read; post-evolution rows carry values; compaction preserves both."""
+    from pyspark.sql import types as T
+
+    from epigraphdb_graph_spark.schema import PAGES_SCHEMA
+
+    path = str(tmp_path / "mor_evolve")
+    old = generate_change_events(spark, 400, seed=21, with_lang=False)
+    new = generate_change_events(spark, 800, seed=21, with_lang=True).filter(
+        F.col("event_seq") >= 400)
+    base_schema = T.StructType(
+        [f for f in PAGES_SCHEMA.fields if f.name != "lang"])
+    table = LakeTable.create(spark, path, base_schema, key="url", n_buckets=4)
+    apply_batch(table, old, batch_id="b-old", mode="mor", watermark_seq=399)
+    assert "lang" not in [f.name for f in table.schema().fields]
+    apply_batch(table, new, batch_id="b-new", mode="mor", watermark_seq=799)
+    assert "lang" in [f.name for f in table.schema().fields]
+
+    state = table.read(with_system_cols=True).toPandas()
+    pre = state[state["_seq"] < 400]
+    post = state[(state["_seq"] >= 400) & (~state["lang"].isna())]
+    assert pre["lang"].isna().all()
+    assert len(post) > 0
+
+    table.compact()
+    state2 = table.read(with_system_cols=True).toPandas()
+    assert state2.sort_values("url")["lang"].tolist() == \
+        state.sort_values("url")["lang"].tolist()
+
+
 def test_mor_stale_events_lose_at_read(spark, tmp_path):
     """A late stale update appended as a MOR delta must lose LWW resolution
     at read time (no join ever ran to reject it)."""
