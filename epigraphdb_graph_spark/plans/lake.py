@@ -299,6 +299,7 @@ class LakeTable:
         collect_metrics: bool = True,
         watermark_seq: int | None = None,
         mode: str = "cow",
+        extra_metrics: dict | None = None,
     ) -> MergeResult:
         """Apply a deduplicated change batch with MERGE semantics.
 
@@ -328,6 +329,7 @@ class LakeTable:
         """
         if mode not in ("cow", "mor"):
             raise ValueError(f"unknown merge mode {mode!r}")
+        self._extra_metrics = dict(extra_metrics or {})
         m = self.manifest()
         if batch_id is not None and batch_id in m["applied_batches"]:
             # exactly-once: replayed micro-batch is a committed no-op
