@@ -72,6 +72,7 @@ def cmd_replay(args) -> int:
     results = replay(
         spark, args.table, events, n_batches=args.batches,
         n_buckets=args.buckets, mode=args.mode, compact_every=args.compact_every,
+        dead_letter_dir=args.dead_letter_dir,
     )
     wall = time.perf_counter() - t0
     n_events = events.count()
@@ -153,6 +154,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--compact-every", type=int, default=None)
     p.add_argument("--warmup", action="store_true",
                    help="untimed small replay first (JIT + python-worker startup)")
+    p.add_argument("--dead-letter-dir", default=None,
+                   help="quarantine malformed events here (parquet + _reason)")
     _add_common(p)
     p.set_defaults(fn=cmd_replay)
 

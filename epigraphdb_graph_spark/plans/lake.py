@@ -329,7 +329,7 @@ class LakeTable:
         """
         if mode not in ("cow", "mor"):
             raise ValueError(f"unknown merge mode {mode!r}")
-        self._extra_metrics = dict(extra_metrics or {})
+        extra = dict(extra_metrics or {})
         m = self.manifest()
         if batch_id is not None and batch_id in m["applied_batches"]:
             # exactly-once: replayed micro-batch is a committed no-op
@@ -359,7 +359,7 @@ class LakeTable:
             return self._merge_mor(
                 m, src, all_cols, new_schema,
                 batch_id=batch_id, collect_metrics=collect_metrics,
-                watermark_seq=watermark_seq,
+                watermark_seq=watermark_seq, extra_metrics=extra,
             )
 
         # persist (COW): the updates lineage (dedup + extraction UDF) is
@@ -380,7 +380,7 @@ class LakeTable:
                 self._commit({**m, "version": version, "parent": m["version"],
                               "applied_batches": m["applied_batches"] + [batch_id],
                               "metrics": {"op": "merge", "batch_id": batch_id,
-                                          "empty": True}})
+                                          "empty": True, **extra}})
                 return MergeResult(version, 0, 0, 0, 0, 0)
             return MergeResult(m["version"], 0, 0, 0, 0, 0, noop=True)
         evolved_manifest = {**m, "schema": new_schema.jsonValue()}
@@ -477,7 +477,7 @@ class LakeTable:
             "deltas": deltas,
             "applied_batches": m["applied_batches"] + ([batch_id] if batch_id else []),
             "watermark_seq": watermark,
-            "metrics": {"op": "merge", "batch_id": batch_id, **metrics},
+            "metrics": {"op": "merge", "batch_id": batch_id, **metrics, **extra},
         }
         self._commit(manifest)
         a = metrics.get("actions", {})
@@ -500,6 +500,7 @@ class LakeTable:
         batch_id: str | None,
         collect_metrics: bool,
         watermark_seq: int | None,
+        extra_metrics: dict | None = None,
     ) -> MergeResult:
         """Merge-on-read commit: append the batch as per-bucket delta
         files. O(batch) — no target read, no join; per-key LWW resolution
@@ -508,6 +509,7 @@ class LakeTable:
         passes below are column-pruned recomputes — no html, no UDF), and
         may hold multiple rows per key (the fast path skips in-batch
         dedup; resolution orders by (_ts,_seq) regardless)."""
+        extra = dict(extra_metrics or {})
         version = m["version"] + 1
         out = (
             src.withColumn("_seq", F.col("event_seq"))
@@ -523,7 +525,8 @@ class LakeTable:
                 self._commit({**m, "version": version, "parent": m["version"],
                               "applied_batches": m["applied_batches"] + [batch_id],
                               "metrics": {"op": "merge", "mode": "mor",
-                                          "batch_id": batch_id, "empty": True}})
+                                          "batch_id": batch_id, "empty": True,
+                                          **extra}})
                 return MergeResult(version, 0, 0, 0, 0, 0)
             return MergeResult(m["version"], 0, 0, 0, 0, 0, noop=True)
 
@@ -559,7 +562,7 @@ class LakeTable:
             "deltas": deltas,
             "applied_batches": m["applied_batches"] + ([batch_id] if batch_id else []),
             "watermark_seq": watermark,
-            "metrics": {"op": "merge", "batch_id": batch_id, **metrics},
+            "metrics": {"op": "merge", "batch_id": batch_id, **metrics, **extra},
         })
         return MergeResult(
             version, inserted=n_upserts, updated=0, deleted=n_deletes,

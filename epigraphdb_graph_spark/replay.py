@@ -51,11 +51,23 @@ def apply_batch(
     batch_id: str | None = None,
     watermark_seq: int | None = None,
     mode: str = "cow",
+    dead_letter_dir: str | None = None,
 ) -> MergeResult:
+    """Apply one change batch. With ``dead_letter_dir``, malformed events
+    are quarantined there (parquet, with a _reason column) instead of
+    poisoning the merge, and the per-reason counts land in the commit's
+    lineage metrics — the accounted version of the reference's
+    --skip-bad-relationships + import-report check (SURVEY J8/K2)."""
+    extra = None
+    if dead_letter_dir is not None:
+        from .operators.quarantine import quarantine
+
+        events, counts = quarantine(events, dead_letter_dir)
+        extra = {"quarantined": counts}
     return table.merge(
         prepare_batch(events, dedup=(mode == "cow")),
         batch_id=batch_id, watermark_seq=watermark_seq,
-        mode=mode,
+        mode=mode, extra_metrics=extra,
     )
 
 
@@ -69,6 +81,7 @@ def replay(
     schema=None,
     mode: str = "cow",
     compact_every: int | None = None,
+    dead_letter_dir: str | None = None,
 ) -> list[MergeResult]:
     """Replay a change log into a (possibly new) pages table in
     ``n_batches`` ordered micro-batches split on event_seq ranges —
@@ -110,6 +123,7 @@ def replay(
                 batch_id=f"replay-{start:012d}-{end:012d}",
                 watermark_seq=end - 1,
                 mode=mode,
+                dead_letter_dir=dead_letter_dir,
             )
         )
         if compact_every and (b + 1) % compact_every == 0 and not results[-1].noop:

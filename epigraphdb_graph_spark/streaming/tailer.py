@@ -50,6 +50,7 @@ def tail_change_log(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     mode: str = "cow",
+    dead_letter_dir: str | None = None,
 ):
     """Tail ``log_dir`` (parquet change-event files) into the lake table at
     ``table_path``. Returns the StreamingQuery.
@@ -83,11 +84,19 @@ def tail_change_log(
         # watermark = true log position (max seq in the RAW batch): LWW dedup
         # may drop the max-seq event, so merge's fallback would under-report
         wm = batch_df.agg(F.max("event_seq")).first()[0]
+        extra = None
+        events = batch_df
+        if dead_letter_dir is not None:
+            from ..operators.quarantine import quarantine
+
+            events, counts = quarantine(batch_df, dead_letter_dir)
+            extra = {"quarantined": counts}
         table.merge(
-            prepare_batch(batch_df, dedup=(mode == "cow")),
+            prepare_batch(events, dedup=(mode == "cow")),
             batch_id=f"stream-{ns}-{batch_id:012d}",
             watermark_seq=wm if wm is not None else -1,
             mode=mode,
+            extra_metrics=extra,
         )
         batch_df.unpersist()
 
