@@ -860,6 +860,31 @@ def q38(spark, sf):
     )
 
 
+@_q("q44_profile", """
+SELECT 'n_nationkey' AS column, COUNT(*) AS n_rows,
+       COUNT(*) FILTER (WHERE n_nationkey IS NULL) AS n_null,
+       COUNT(DISTINCT n_nationkey) AS n_distinct,
+       CAST(MIN(n_nationkey) AS VARCHAR) AS min, CAST(MAX(n_nationkey) AS VARCHAR) AS max
+FROM nation
+UNION ALL
+SELECT 'n_name', COUNT(*), COUNT(*) FILTER (WHERE n_name IS NULL),
+       COUNT(DISTINCT n_name), MIN(n_name), MAX(n_name) FROM nation
+UNION ALL
+SELECT 'n_regionkey', COUNT(*), COUNT(*) FILTER (WHERE n_regionkey IS NULL),
+       COUNT(DISTINCT n_regionkey),
+       CAST(MIN(n_regionkey) AS VARCHAR), CAST(MAX(n_regionkey) AS VARCHAR) FROM nation
+""")
+def q44(spark, sf):
+    """Single-pass dataset profiling sink (ref K6: pandas-profiling sample,
+    utils/writers.py:276-284 — as a queryable metrics frame; one
+    aggregation job for every column's stats)."""
+    from epigraphdb_graph_spark.functions.profile import profile_table
+
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    return profile_table(n, approx_distinct=False).select(
+        "column", "n_rows", "n_null", "n_distinct", "min", "max")
+
+
 # -------------------------------------------- non-SQL-expressible (rows-only)
 
 
