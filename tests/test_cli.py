@@ -1,0 +1,59 @@
+"""CLI surface smoke tests (subprocess — the spark-submit-shaped entry)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args: list[str], timeout: int = 420) -> str:
+    env = {**os.environ, "PYTHONPATH": ROOT}
+    out = subprocess.run(
+        [sys.executable, "-m", "epigraphdb_graph_spark.cli", *args],
+        capture_output=True, text=True, env=env, cwd=ROOT, timeout=timeout,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return out.stdout
+
+
+def _last_json(stdout: str) -> dict:
+    lines = [l for l in stdout.splitlines() if l.startswith("{")]
+    return json.loads(lines[-1])
+
+
+@pytest.mark.slow
+def test_cli_replay_show_compact_roundtrip(tmp_path):
+    table = str(tmp_path / "pages")
+    r = _last_json(_run([
+        "replay", "--table", table, "--events", "5000", "--batches", "2",
+        "--mode", "mor", "--buckets", "8", "--master", "local[4]",
+    ]))
+    assert r["events"] == 5000 and r["final_rows"] > 0
+    assert len(r["batches"]) == 2 and r["events_per_sec"] > 0
+
+    s = _last_json(_run(["show", "--table", table, "--master", "local[4]"]))
+    assert s["rows"] == r["final_rows"]
+    assert s["pending_delta_files"] > 0
+    assert s["applied_batches"] == 2
+
+    c = _last_json(_run(["compact", "--table", table, "--master", "local[4]"]))
+    assert c["rows"] == r["final_rows"]
+    s2 = _last_json(_run(["show", "--table", table, "--master", "local[4]"]))
+    assert s2["pending_delta_files"] == 0
+
+
+@pytest.mark.slow
+def test_cli_replay_resume(tmp_path):
+    table = str(tmp_path / "pages")
+    args = ["replay", "--table", table, "--events", "4000", "--batches", "2",
+            "--master", "local[4]"]
+    r1 = _last_json(_run(args))
+    r2 = _last_json(_run(args))  # identical rerun -> all batches noop
+    assert all(b["noop"] for b in r2["batches"])
+    assert r2["final_rows"] == r1["final_rows"]
