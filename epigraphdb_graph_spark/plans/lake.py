@@ -202,22 +202,40 @@ class LakeTable:
 
         # Two-pass resolution that never shuffles full row images:
         # 1. winners: column-pruned scan (key, _ts, _seq only — parquet
-        #    reads 3 columns) -> fixed-width hash agg, tiny shuffle;
-        # 2. join winners back on (key, _ts, _seq) — _seq is unique, so
-        #    exactly one row survives per key. AQE sees the small winner
-        #    relation at runtime and picks a broadcast join, so the full
-        #    rows stream map-side. (The max_by alternative sort-aggregates
-        #    whole pages through the exchange — O(data) shuffle.)
-        winners = union.groupBy(F.col(key).alias("_wk")).agg(
-            F.max(F.struct("_ts", "_seq")).alias("_w")
+        #    reads 3 columns) -> HASH agg on a single packed decimal
+        #    ordering key (max over struct would fall back to a
+        #    SortAggregate — struct buffers aren't mutable), tiny shuffle;
+        # 2. join winners back on (key, _ord) — _seq is unique, so exactly
+        #    one row survives per key. AQE sees the small winner relation
+        #    at runtime and converts the join to broadcast, so the full
+        #    rows stream map-side without an exchange or sort.
+        #
+        # Packing: ord = unix_micros(_ts) * 10^18 + _seq. Lexicographic
+        # (ts, seq) order is preserved for any seq in (-10^18, 10^18)
+        # (covers 10^10-event logs and the base-load _seq = -1); max micros
+        # ~1.7e15 keeps the product < 10^34 (decimal cap is 10^38).
+        ord_expr = (
+            F.unix_micros(F.col("_ts")).cast("decimal(38,0)")
+            * F.lit(1_000_000_000_000_000_000)
+            + F.col("_seq")
         )
+        tagged = union.withColumn("_ord", ord_expr)
+        winners = tagged.groupBy(F.col(key).alias("_wk")).agg(
+            F.max("_ord").alias("_word")
+        )
+        # Explicit broadcast: AQE does not reliably convert this SMJ even
+        # when winners are tiny, and a sort-merge join here sort-shuffles
+        # every full row image — the exact thing this two-pass design
+        # avoids. Winners are (key, decimal) pairs; at true cluster scale
+        # with ~10^9+ keys per read, swap this for bucket-local resolution
+        # (both sides are already bucket-pure files, so the join can run
+        # per bucket without any global broadcast).
         return (
-            union.join(
-                winners,
-                (F.col(key) == F.col("_wk"))
-                & (F.struct("_ts", "_seq") == F.col("_w")),
+            tagged.join(
+                F.broadcast(winners),
+                (F.col(key) == F.col("_wk")) & (F.col("_ord") == F.col("_word")),
             )
-            .drop("_wk", "_w")
+            .drop("_wk", "_word", "_ord")
         )
 
     def read(self, version: int | None = None, *, with_system_cols: bool = False) -> DataFrame:
