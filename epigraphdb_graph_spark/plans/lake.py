@@ -63,6 +63,13 @@ _META = "_meta"
 _DATA = "data"
 
 
+def _parquet_num_rows(path: str) -> int:
+    """Row count from the parquet footer — metadata only, no data read."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 @dataclass
 class MergeResult:
     version: int
@@ -284,10 +291,15 @@ class LakeTable:
         key = m["key"]
         new_schema = merge_schemas(T.StructType.fromJson(m["schema"]), df.schema)
         version = m["version"] + 1
+        typ = {f.name: f.dataType for f in new_schema.fields}
         full = df
         for c in new_schema.fieldNames():
             if c not in df.columns:
-                full = full.withColumn(c, F.lit(None).cast(dict(zip(new_schema.fieldNames(), new_schema.fields))[c].dataType))
+                full = full.withColumn(c, F.lit(None).cast(typ[c]))
+            elif full.schema[c].dataType != typ[c]:
+                # e.g. an all-null column arriving as NullType/boolean from
+                # pandas inference — conform to the declared type
+                full = full.withColumn(c, F.col(c).cast(typ[c]))
         full = (
             full.select(*new_schema.fieldNames())
             .withColumn("_seq", F.lit(-1).cast("long"))
@@ -535,6 +547,19 @@ class LakeTable:
             .withColumn("_deleted", F.col("op") == "delete")
             .select(*all_cols, "_seq", "_ts", "_deleted", "_bucket")
         )
+        # metrics piggyback on the write job itself (Observation fills when
+        # the action runs) — a separate metrics pass was a whole extra job
+        # per commit; per-bucket row counts come from parquet footers below
+        obs = None
+        if collect_metrics:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            out = out.observe(
+                obs,
+                F.sum(F.when(F.col("_deleted"), 1).otherwise(0)).alias("deletes"),
+                F.sum(F.when(F.col("_deleted"), 0).otherwise(1)).alias("upserts"),
+            )
         new_files = self._write_snapshot(
             out.repartition(m["n_buckets"], "_bucket"), version, kind="delta"
         )
@@ -550,19 +575,18 @@ class LakeTable:
 
         metrics: dict = {"mode": "mor"}
         n_upserts = n_deletes = 0
-        if collect_metrics:
-            per_bucket = src.groupBy("_bucket", "op").count().collect()
-            by_bucket: dict[str, dict[str, int]] = {}
-            for r in per_bucket:
-                kind = "delete" if r["op"] == "delete" else "upsert"
-                by_bucket.setdefault(str(r["_bucket"]), {}).setdefault(kind, 0)
-                by_bucket[str(r["_bucket"])][kind] += r["count"]
-                if kind == "delete":
-                    n_deletes += r["count"]
-                else:
-                    n_upserts += r["count"]
+        if collect_metrics and obs is not None:
+            got = obs.get  # filled by the completed write job — no new job
+            n_upserts = int(got.get("upserts") or 0)
+            n_deletes = int(got.get("deletes") or 0)
             metrics["actions"] = {"append_upsert": n_upserts, "append_delete": n_deletes}
-            metrics["by_bucket"] = by_bucket
+            # per-bucket lineage from parquet footers: pure metadata reads,
+            # no executors involved
+            metrics["by_bucket"] = {
+                b: {"rows": sum(_parquet_num_rows(os.path.join(self.path, f))
+                                for f in fl)}
+                for b, fl in new_files.items()
+            }
 
         if watermark_seq is None:
             wm_row = src.agg(F.max("event_seq")).first()

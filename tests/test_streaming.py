@@ -100,6 +100,22 @@ def test_tailer_exactly_once_and_resume(spark, tmp_path, events):
     assert mdf.agg(F.max("watermark_seq")).first()[0] == N_EVENTS - 1
 
 
+def test_tailer_mor_mode_matches_oracle(spark, tmp_path, events):
+    """Streaming tailer with MOR commits: state after drain + compact
+    equals the oracle (dedup is deferred to resolution in this mode)."""
+    log_dir = str(tmp_path / "log")
+    table_path = str(tmp_path / "pages")
+    events.repartition(2).write.mode("overwrite").parquet(log_dir)
+    q = tail_change_log(spark, log_dir, table_path, str(tmp_path / "ckpt"),
+                        n_buckets=8, mode="mor")
+    q.awaitTermination(120)
+    table = LakeTable(spark, table_path)
+    assert any(table.manifest()["deltas"].values())
+    _assert_equal(_read_state(spark, table_path), events.toPandas())
+    table.compact()
+    _assert_equal(_read_state(spark, table_path), events.toPandas())
+
+
 def test_tailer_restart_same_checkpoint_is_noop(spark, tmp_path, events):
     log_dir = str(tmp_path / "log")
     table_path = str(tmp_path / "pages")
