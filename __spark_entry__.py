@@ -789,7 +789,8 @@ WHERE a.vec_id < 150 AND b.vec_id < 150
 """)
 def q37(spark, sf):
     """Embedding-cosine near-dup pairs above threshold (bounded crossjoin
-    here; the scale path pre-buckets by LSH sign-bits, operators/dedup.py)."""
+    here; the scale path pre-buckets by LSH sign-bits —
+    operators/similarity.py.cosine_neardup_pairs)."""
     e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 150)
     a = e.alias("a")
     b = e.alias("b")

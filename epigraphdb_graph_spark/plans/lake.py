@@ -459,29 +459,38 @@ class LakeTable:
             "_action", "r.*"
         )
 
-        metrics = {}
-        if collect_metrics:
-            # Per-bucket lineage metrics via a SEPARATE column-pruned pass,
-            # deliberately NOT persist()ing `resolved`: caching full row
-            # images (html+text) per commit is O(table) memory at scale,
-            # while recomputing the join for a (_bucket, _action) projection
-            # reads only key/ordering columns from parquet (src side comes
-            # from the persisted cache, so dedup+extraction don't re-run).
-            per_bucket = (
-                resolved.select("_bucket", "_action")
-                .groupBy("_bucket", "_action").count().collect()
-            )
-            agg: dict[str, int] = {}
-            by_bucket: dict[str, dict[str, int]] = {}
-            for r in per_bucket:
-                agg[r["_action"]] = agg.get(r["_action"], 0) + r["count"]
-                by_bucket.setdefault(str(r["_bucket"]), {})[r["_action"]] = r["count"]
-            metrics = {"actions": agg, "by_bucket": by_bucket}
-
         version = m["version"] + 1
         out = resolved.drop("_action")
+        # action counts piggyback on the write job (Observation — no extra
+        # pass over the join); per-bucket row counts come from the written
+        # parquet footers (metadata only). An earlier design ran a separate
+        # column-pruned metrics job per commit — one whole extra job.
+        obs = None
+        if collect_metrics:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            out = resolved.observe(
+                obs,
+                *[
+                    F.sum(F.when(F.col("_action") == a, 1).otherwise(0)).alias(a)
+                    for a in ("keep", "insert", "update", "delete",
+                              "tombstone_new", "revive", "stale")
+                ],
+            ).drop("_action")
         n_parts = max(len(touched), 1)
         new_files = self._write_snapshot(out.repartition(n_parts, "_bucket"), version)
+
+        metrics = {}
+        if collect_metrics and obs is not None:
+            got = obs.get
+            agg = {a: int(v) for a, v in got.items() if v}
+            by_bucket = {
+                b: {"rows": sum(_parquet_num_rows(os.path.join(self.path, f))
+                                for f in fl)}
+                for b, fl in new_files.items()
+            }
+            metrics = {"actions": agg, "by_bucket": by_bucket}
 
         files = dict(m["files"])
         deltas = dict(m.get("deltas", {}))
