@@ -861,6 +861,27 @@ def q38(spark, sf):
     )
 
 
+@_q("q45_above_group_avg", """
+SELECT c_custkey, c_nationkey,
+       CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+""")
+def q45(spark, sf):
+    """Correlated-subquery semantics (above-per-group-average), expressed
+    the Spark-idiomatic way: one window average instead of a rescan per
+    outer row — same result, single shuffle."""
+    c = _t(spark, sf, "customer")
+    w = W.partitionBy("c_nationkey")
+    return (
+        c.withColumn("_avg", F.avg("c_acctbal").over(w))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .select("c_custkey", "c_nationkey",
+                _dec2("c_acctbal").cast("double").alias("bal"))
+    )
+
+
 @_q("q44_profile", """
 SELECT 'n_nationkey' AS column, COUNT(*) AS n_rows,
        COUNT(*) FILTER (WHERE n_nationkey IS NULL) AS n_null,

@@ -70,6 +70,10 @@ def _parquet_num_rows(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A second writer committed between this writer's read and commit."""
+
+
 @dataclass
 class MergeResult:
     version: int
@@ -110,7 +114,20 @@ class LakeTable:
         return T.StructType.fromJson(self.manifest(version)["schema"])
 
     def _commit(self, manifest: dict) -> None:
+        """Atomic pointer swap with an optimistic-concurrency check
+        (Iceberg-style CAS on the metadata pointer): the commit only lands
+        if the table is still at the snapshot this manifest was derived
+        from. The tailer is the intended single writer; this turns an
+        accidental second writer into a loud error instead of lost commits."""
         v = manifest["version"]
+        parent = manifest.get("parent")
+        if parent is not None:
+            current = self.current_version()
+            if current != parent:
+                raise ConcurrentWriteError(
+                    f"commit of v{v} derived from v{parent}, but table is at "
+                    f"v{current} — concurrent writer detected"
+                )
         mpath = os.path.join(self._meta_dir, f"v{v:08d}.json")
         with open(mpath, "w") as f:
             json.dump(manifest, f)
