@@ -661,19 +661,41 @@ class LakeTable:
                             "watermark_seq": mm.get("watermark_seq", -1)})
         return out
 
-    def compact(self, *, drop_tombstones: bool = False) -> int:
+    def compact(self, *, drop_tombstones: bool = False,
+                n_buckets: int | None = None) -> int:
         """Fold pending MOR deltas into a clean base snapshot and rewrite
         all buckets (small-file compaction); optionally drop tombstones
         (safe once the lateness horizon has passed). This is the cadence
-        job that re-bounds MOR read cost."""
+        job that re-bounds MOR read cost.
+
+        ``n_buckets`` rebuckets the table (partition-spec evolution): the
+        key universe outgrowing the bucket count is the classic
+        hash-partitioned-table aging problem — a rebucketing compaction is
+        one full rewrite, after which every new commit uses the new spec.
+        Old snapshots stay readable (time travel keeps their manifests)."""
         m = self.manifest()
+        new_n = n_buckets or m["n_buckets"]
         df = self._read_resolved(m).withColumn(
-            "_bucket", self.bucket_expr(F.col(m["key"]), m["n_buckets"])
+            "_bucket", self.bucket_expr(F.col(m["key"]), new_n)
         )
         if drop_tombstones:
             df = df.filter(~F.col("_deleted"))
         version = m["version"] + 1
-        files = self._write_snapshot(df.repartition(m["n_buckets"], "_bucket"), version)
+        files = self._write_snapshot(df.repartition(new_n, "_bucket"), version)
         self._commit({**m, "version": version, "parent": m["version"],
-                      "files": files, "deltas": {}, "metrics": {"op": "compact"}})
+                      "n_buckets": new_n, "files": files, "deltas": {},
+                      "metrics": {"op": "compact", "n_buckets": new_n}})
         return version
+
+    def pending_delta_files(self) -> int:
+        return sum(len(v) for v in self.manifest().get("deltas", {}).values())
+
+    def maybe_compact(self, *, max_delta_files: int = 64,
+                      drop_tombstones: bool = False) -> int | None:
+        """Compaction policy hook for the tailer: compact when pending MOR
+        delta files exceed the threshold (bounds read amplification to
+        O(max_delta_files) extra file opens per read). Returns the new
+        version or None if below threshold."""
+        if self.pending_delta_files() <= max_delta_files:
+            return None
+        return self.compact(drop_tombstones=drop_tombstones)

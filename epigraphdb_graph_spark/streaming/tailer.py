@@ -51,6 +51,7 @@ def tail_change_log(
     max_files_per_trigger: int | None = None,
     mode: str = "cow",
     dead_letter_dir: str | None = None,
+    auto_compact_delta_files: int | None = None,
 ):
     """Tail ``log_dir`` (parquet change-event files) into the lake table at
     ``table_path``. Returns the StreamingQuery.
@@ -98,6 +99,8 @@ def tail_change_log(
             mode=mode,
             extra_metrics=extra,
         )
+        if auto_compact_delta_files is not None:
+            table.maybe_compact(max_delta_files=auto_compact_delta_files)
         batch_df.unpersist()
 
     writer = (
