@@ -66,9 +66,11 @@ def bench_replay(spark, n_events: int, n_batches: int = 4, n_buckets: int = 32,
 
     lake_dir = tempfile.mkdtemp(prefix="bench_lake_")
     try:
+        # batches x cores partitions: each contiguous event_seq batch slice
+        # must span all cores (see cli.py note)
         events = generate_change_events(
             spark, n_events, seed=42, n_domains=200, pages_per_domain=256,
-            num_partitions=spark.sparkContext.defaultParallelism,
+            num_partitions=n_batches * spark.sparkContext.defaultParallelism,
         )
         t0 = time.perf_counter()
         replay(spark, os.path.join(lake_dir, "pages"), events,

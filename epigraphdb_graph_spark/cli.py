@@ -44,10 +44,15 @@ def cmd_replay(args) -> int:
     if args.log_dir:
         events = spark.read.parquet(args.log_dir)
     else:
+        # partitions = batches x cores: replay slices the log on contiguous
+        # event_seq ranges, so each batch must span >= cores partitions or
+        # the per-batch scan+extract stage runs under-parallel (a 4-batch
+        # log in `cores` partitions gives each batch only cores/4 tasks)
         events = generate_change_events(
             spark, args.events, seed=args.seed,
             n_domains=args.domains, pages_per_domain=args.pages_per_domain,
             body_repeat=args.body_repeat,
+            num_partitions=args.batches * spark.sparkContext.defaultParallelism,
         )
     if args.warmup:
         # untimed warmup replay on a throwaway table: JIT/codegen + python
