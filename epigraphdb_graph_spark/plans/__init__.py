@@ -1,1 +1,1 @@
-from .lake import LakeTable, MergeResult  # noqa: F401
+from .lake import ConcurrentWriteError, LakeTable, MergeResult  # noqa: F401
