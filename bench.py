@@ -98,6 +98,9 @@ def main() -> None:
     spark = get_spark("bench", master=f"local[{cpus}]")
 
     qmap = entrymod.queries()
+    # session warmup (scheduler, codegen, file listing) so the first timed
+    # query doesn't absorb JVM ramp
+    qmap[HEADLINE[0]](spark, sf_dir).count()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qmap[name]
