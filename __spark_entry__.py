@@ -882,6 +882,20 @@ def q45(spark, sf):
     )
 
 
+@_q("q46_intersect", """
+SELECT nationkey FROM (
+  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+  INTERSECT
+  SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+""")
+def q46(spark, sf):
+    """Set intersection (SURVEY U3 — unused by the reference, which used
+    isin/semi-joins; completes the set-op family)."""
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    return c.intersect(s)
+
+
 @_q("q44_profile", """
 SELECT 'n_nationkey' AS column, COUNT(*) AS n_rows,
        COUNT(*) FILTER (WHERE n_nationkey IS NULL) AS n_null,
