@@ -132,7 +132,7 @@ def cmd_show(args) -> int:
         "watermark_seq": m["watermark_seq"],
         "schema": [f.name for f in table.schema().fields],
         "rows": table.read().count(),
-        "applied_batches": len(m["applied_batches"]),
+        "applied_batches": m.get("ledger", {}).get("applied_count", 0),
         "pending_delta_files": sum(len(v) for v in m.get("deltas", {}).values()),
     }))
     if args.history:

@@ -62,6 +62,18 @@ SYS_COLS = ["_seq", "_ts", "_deleted"]
 _META = "_meta"
 _DATA = "data"
 
+# MOR read resolution: broadcast the (delta-key -> winning _ord) relation
+# only while pending delta rows stay under this bound; beyond it (compaction
+# badly overdue) fall back to a key-partitioned shuffle resolution. 1M keys
+# ≈ tens of MB broadcast — safe for any reasonable driver/executor memory.
+RESOLVE_BROADCAST_MAX_DELTA_ROWS = 1_000_000
+
+# Exactly-once ledger: bounded list of recently applied batch ids kept
+# verbatim in the manifest (backstop for unstructured ids); structured
+# "ns:seq" ids are tracked by a per-namespace high-watermark instead, so
+# the manifest stays O(namespaces), not O(batches ever applied).
+LEDGER_RECENT_MAX = 64
+
 
 def _parquet_num_rows(path: str) -> int:
     """Row count from the parquet footer — metadata only, no data read."""
@@ -72,6 +84,64 @@ def _parquet_num_rows(path: str) -> int:
 
 class ConcurrentWriteError(RuntimeError):
     """A second writer committed between this writer's read and commit."""
+
+
+# --------------------------------------------------------------------------
+# Exactly-once batch ledger (bounded — north_rule resumability at 10^5+
+# batches without the manifest growing with replay length).
+#
+# Structured batch ids follow the convention "{namespace}:{seq}" (seq a
+# decimal integer). The engine's own writers apply batches in
+# non-decreasing seq order per namespace (replay: ascending event-seq
+# ranges; tailer: Spark's monotonically increasing micro-batch ids), so
+# "seq <= high-watermark" is exactly "already applied". Unstructured ids
+# are tracked verbatim in a bounded recent-set; if one ages out and is
+# re-applied, the per-row (_ts,_seq) stale guards and the MOR tie-dedup
+# make the re-apply a state-level no-op — the ledger is the fast path and
+# the accounting layer, not the only correctness layer.
+# --------------------------------------------------------------------------
+
+def _parse_batch_id(batch_id: str) -> tuple[str, int] | None:
+    ns, sep, tail = batch_id.rpartition(":")
+    if sep and tail.isdigit():
+        return ns, int(tail)
+    return None
+
+
+def _ledger(m: dict) -> dict:
+    led = m.get("ledger")
+    if led is None:
+        # legacy manifests carried the full applied_batches list
+        legacy = m.get("applied_batches", [])
+        led = {"hwm": {}, "recent": list(legacy[-LEDGER_RECENT_MAX:]),
+               "applied_count": len(legacy)}
+    return led
+
+
+def _batch_seen(m: dict, batch_id: str) -> bool:
+    led = _ledger(m)
+    parsed = _parse_batch_id(batch_id)
+    if parsed is not None:
+        ns, seq = parsed
+        if seq <= led["hwm"].get(ns, -1):
+            return True
+    return batch_id in led["recent"]
+
+
+def _ledger_add(m: dict, batch_id: str | None) -> dict:
+    """New ledger dict with ``batch_id`` recorded (manifest stays bounded:
+    O(namespaces) + O(LEDGER_RECENT_MAX))."""
+    led = _ledger(m)
+    if batch_id is None:
+        return led
+    hwm = dict(led["hwm"])
+    parsed = _parse_batch_id(batch_id)
+    if parsed is not None:
+        ns, seq = parsed
+        hwm[ns] = max(hwm.get(ns, -1), seq)
+    recent = (list(led["recent"]) + [batch_id])[-LEDGER_RECENT_MAX:]
+    return {"hwm": hwm, "recent": recent,
+            "applied_count": led["applied_count"] + 1}
 
 
 @dataclass
@@ -161,7 +231,7 @@ class LakeTable:
             "schema": schema.jsonValue(),
             "files": {},   # bucket(str) -> [relative paths] (base files)
             "deltas": {},  # bucket(str) -> [relative paths] (MOR deltas)
-            "applied_batches": [],
+            "ledger": {"hwm": {}, "recent": [], "applied_count": 0},
             "watermark_seq": -1,
             "properties": properties or {},
             "metrics": {},
@@ -214,52 +284,106 @@ class LakeTable:
         no resolution shuffle is paid. With deltas, the winner per key is
         max (_ts, _seq) across base+delta rows, exactly the same total order
         MERGE uses, so COW and MOR histories converge to identical states.
-        """
-        base = self._read_files(manifest, buckets, file_schema)
-        deltas = manifest.get("deltas", {})
-        wanted = deltas.keys() if buckets is None else [str(b) for b in buckets]
-        if not any(deltas.get(str(b)) for b in wanted):
-            return base
-        delta_df = self._read_files(manifest, buckets, file_schema, which="deltas")
-        key = manifest["key"]
-        union = base.unionByName(delta_df)
 
-        # Two-pass resolution that never shuffles full row images:
-        # 1. winners: column-pruned scan (key, _ts, _seq only — parquet
-        #    reads 3 columns) -> HASH agg on a single packed decimal
-        #    ordering key (max over struct would fall back to a
-        #    SortAggregate — struct buffers aren't mutable), tiny shuffle;
-        # 2. join winners back on (key, _ord) — _seq is unique, so exactly
-        #    one row survives per key. AQE sees the small winner relation
-        #    at runtime and converts the join to broadcast, so the full
-        #    rows stream map-side without an exchange or sort.
-        #
+        Scale shape (what survives 10^9+ keys):
+
+        - **Delta-bucket locality**: only buckets that actually carry
+          pending deltas enter resolution at all; base files of untouched
+          buckets stream through scan-only (zero resolution cost). This is
+          Hudi/Iceberg-v2 file-group merging — merge cost follows *pending
+          deltas*, never table size.
+        - **Delta-key-bounded winners**: base files hold exactly one row
+          per key (every COW/compact rewrite guarantees it), so resolution
+          is only ever needed for keys that appear in a delta. The winners
+          relation is O(pending delta keys) — bounded by the compaction
+          cadence (``maybe_compact``), NOT by the table's key count.
+          It is broadcast when small (the common case, steady-state
+          tailing) and falls back to a key-partitioned shuffle resolution
+          when a neglected table has accumulated too many delta rows
+          (correct at any size; just pays the shuffle).
+        - **Exactly one row per key**: re-delivered events (at-least-once
+          sources, fresh-checkpoint log re-reads) append byte-identical
+          delta rows with equal (_ts, _seq); resolution collapses such
+          ties with a per-key pick, so MOR reads stay idempotent under
+          re-delivery just like COW's per-row stale guard.
+        """
+        deltas = manifest.get("deltas", {})
+        files = manifest.get("files", {})
+        if buckets is None:
+            wanted = sorted(set(files.keys()) | set(deltas.keys()), key=int)
+        else:
+            wanted = [str(b) for b in buckets]
+        hot = [b for b in wanted if deltas.get(str(b))]
+        if not hot:
+            return self._read_files(manifest, buckets, file_schema)
+        hot_set = set(hot)
+        cold = [b for b in wanted if b not in hot_set]
+
+        base_cold = self._read_files(manifest, cold, file_schema)
+        base_hot = self._read_files(manifest, hot, file_schema)
+        delta_df = self._read_files(manifest, hot, file_schema, which="deltas")
+        key = manifest["key"]
+
         # Packing: ord = unix_micros(_ts) * 10^18 + _seq. Lexicographic
         # (ts, seq) order is preserved for any seq in (-10^18, 10^18)
         # (covers 10^10-event logs and the base-load _seq = -1); max micros
-        # ~1.7e15 keeps the product < 10^34 (decimal cap is 10^38).
+        # ~1.7e15 keeps the product < 10^34 (decimal cap is 10^38). A single
+        # packed decimal keeps the winner agg a HASH agg (max over a struct
+        # would fall back to SortAggregate — struct buffers aren't mutable).
         ord_expr = (
             F.unix_micros(F.col("_ts")).cast("decimal(38,0)")
             * F.lit(1_000_000_000_000_000_000)
             + F.col("_seq")
         )
-        tagged = union.withColumn("_ord", ord_expr)
-        winners = tagged.groupBy(F.col(key).alias("_wk")).agg(
-            F.max("_ord").alias("_word")
+        union_hot = base_hot.unionByName(delta_df).withColumn("_ord", ord_expr)
+
+        # pending delta volume from parquet footers: metadata only, no job
+        n_delta_rows = sum(
+            _parquet_num_rows(os.path.join(self.path, f))
+            for b in hot
+            for f in deltas.get(str(b), [])
         )
-        # Explicit broadcast: AQE does not reliably convert this SMJ even
-        # when winners are tiny, and a sort-merge join here sort-shuffles
-        # every full row image — the exact thing this two-pass design
-        # avoids. Winners are (key, decimal) pairs; at true cluster scale
-        # with ~10^9+ keys per read, swap this for bucket-local resolution
-        # (both sides are already bucket-pure files, so the join can run
-        # per bucket without any global broadcast).
-        return (
-            tagged.join(
-                F.broadcast(winners),
-                (F.col(key) == F.col("_wk")) & (F.col("_ord") == F.col("_word")),
+        if n_delta_rows > RESOLVE_BROADCAST_MAX_DELTA_ROWS:
+            # Compaction-overdue fallback: key-partitioned shuffle
+            # resolution. One exchange of the hot buckets' full rows —
+            # O(hot data), bounded executor memory, no driver broadcast.
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(key).orderBy(F.desc("_ord"))
+            resolved_hot = (
+                union_hot.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "_ord")
             )
-            .drop("_wk", "_word", "_ord")
+            return base_cold.unionByName(resolved_hot)
+
+        # Winners restricted to delta-touched keys: a column-pruned pass
+        # (parquet reads key, _ts, _seq only) semi-joined to the distinct
+        # delta keys, then one tiny hash agg. O(delta keys), not O(table
+        # keys) — base rows whose key never appears in a delta are already
+        # their own winners and skip resolution entirely.
+        pruned = (
+            base_hot.select(key, "_ts", "_seq")
+            .unionByName(delta_df.select(key, "_ts", "_seq"))
+            .withColumn("_ord", ord_expr)
+        )
+        dkeys = delta_df.select(F.col(key).alias("_dk")).distinct()
+        winners = (
+            pruned.join(F.broadcast(dkeys), F.col(key) == F.col("_dk"), "left_semi")
+            .groupBy(F.col(key).alias("_wk"))
+            .agg(F.max("_ord").alias("_word"))
+        )
+        j = union_hot.join(F.broadcast(winners), F.col(key) == F.col("_wk"), "left")
+        # key untouched by any delta -> no winner row -> passes through
+        untouched = j.filter(F.col("_wk").isNull()).drop("_wk", "_word", "_ord")
+        winner_rows = j.filter(
+            F.col("_wk").isNotNull() & (F.col("_ord") == F.col("_word"))
+        ).drop("_wk", "_word", "_ord")
+        # Ties (equal (_ts,_seq)) are re-delivered copies of the same event:
+        # collapse to exactly one row per key. This dedup shuffles only the
+        # O(delta keys) winner rows, never the untouched base rows.
+        return base_cold.unionByName(untouched).unionByName(
+            winner_rows.dropDuplicates([key])
         )
 
     def read(self, version: int | None = None, *, with_system_cols: bool = False) -> DataFrame:
@@ -331,7 +455,7 @@ class LakeTable:
             "parent": m["version"],
             "schema": new_schema.jsonValue(),
             "files": files,
-            "applied_batches": m["applied_batches"] + ([batch_id] if batch_id else []),
+            "ledger": _ledger_add(m, batch_id),
             "metrics": {"op": "overwrite"},
         }
         self._commit(manifest)
@@ -378,7 +502,7 @@ class LakeTable:
             raise ValueError(f"unknown merge mode {mode!r}")
         extra = dict(extra_metrics or {})
         m = self.manifest()
-        if batch_id is not None and batch_id in m["applied_batches"]:
+        if batch_id is not None and _batch_seen(m, batch_id):
             # exactly-once: replayed micro-batch is a committed no-op
             return MergeResult(m["version"], 0, 0, 0, 0, 0, noop=True)
 
@@ -425,7 +549,7 @@ class LakeTable:
             if batch_id is not None:
                 version = m["version"] + 1
                 self._commit({**m, "version": version, "parent": m["version"],
-                              "applied_batches": m["applied_batches"] + [batch_id],
+                              "ledger": _ledger_add(m, batch_id),
                               "metrics": {"op": "merge", "batch_id": batch_id,
                                           "empty": True, **extra}})
                 return MergeResult(version, 0, 0, 0, 0, 0)
@@ -531,7 +655,7 @@ class LakeTable:
             "schema": new_schema.jsonValue(),
             "files": files,
             "deltas": deltas,
-            "applied_batches": m["applied_batches"] + ([batch_id] if batch_id else []),
+            "ledger": _ledger_add(m, batch_id),
             "watermark_seq": watermark,
             "metrics": {"op": "merge", "batch_id": batch_id, **metrics, **extra},
         }
@@ -592,7 +716,7 @@ class LakeTable:
         if not new_files:  # empty batch: ledger-only commit (cf. COW path)
             if batch_id is not None:
                 self._commit({**m, "version": version, "parent": m["version"],
-                              "applied_batches": m["applied_batches"] + [batch_id],
+                              "ledger": _ledger_add(m, batch_id),
                               "metrics": {"op": "merge", "mode": "mor",
                                           "batch_id": batch_id, "empty": True,
                                           **extra}})
@@ -628,7 +752,7 @@ class LakeTable:
             "parent": m["version"],
             "schema": new_schema.jsonValue(),
             "deltas": deltas,
-            "applied_batches": m["applied_batches"] + ([batch_id] if batch_id else []),
+            "ledger": _ledger_add(m, batch_id),
             "watermark_seq": watermark,
             "metrics": {"op": "merge", "batch_id": batch_id, **metrics, **extra},
         })
@@ -662,29 +786,59 @@ class LakeTable:
         return out
 
     def compact(self, *, drop_tombstones: bool = False,
-                n_buckets: int | None = None) -> int:
-        """Fold pending MOR deltas into a clean base snapshot and rewrite
-        all buckets (small-file compaction); optionally drop tombstones
-        (safe once the lateness horizon has passed). This is the cadence
-        job that re-bounds MOR read cost.
+                n_buckets: int | None = None, full: bool = False) -> int:
+        """Fold pending MOR deltas into clean base files. **Incremental by
+        default**: only buckets that actually carry pending deltas are
+        resolved and rewritten; every untouched bucket's base files are
+        carried into the new snapshot by reference (same paths — zero read,
+        zero write). The steady-state tailer therefore pays O(pending
+        deltas + their buckets' base data) per compaction, never O(table):
+        at 100 TB a compaction touching 3 of 4096 buckets rewrites ~75 GB,
+        not the table.
 
-        ``n_buckets`` rebuckets the table (partition-spec evolution): the
-        key universe outgrowing the bucket count is the classic
-        hash-partitioned-table aging problem — a rebucketing compaction is
-        one full rewrite, after which every new commit uses the new spec.
-        Old snapshots stay readable (time travel keeps their manifests)."""
+        ``full=True`` rewrites every bucket (small-file compaction /
+        table-wide tombstone expiry). ``n_buckets`` rebuckets the table
+        (partition-spec evolution — keys move buckets, so this is
+        necessarily a full rewrite), after which every new commit uses the
+        new spec; old snapshots stay readable (time travel keeps their
+        manifests). ``drop_tombstones`` removes tombstones from whatever
+        buckets this compaction rewrites (combine with ``full=True`` for a
+        table-wide sweep once the lateness horizon has passed)."""
         m = self.manifest()
         new_n = n_buckets or m["n_buckets"]
-        df = self._read_resolved(m).withColumn(
+        full = full or (new_n != m["n_buckets"])
+        if full:
+            target = None  # every bucket, re-hashed under the new spec
+        else:
+            target = sorted(
+                (b for b, fl in m.get("deltas", {}).items() if fl), key=int
+            )
+            if not target:
+                return m["version"]  # nothing pending — no-op, no commit
+        df = self._read_resolved(m, buckets=target).withColumn(
             "_bucket", self.bucket_expr(F.col(m["key"]), new_n)
         )
         if drop_tombstones:
             df = df.filter(~F.col("_deleted"))
         version = m["version"] + 1
-        files = self._write_snapshot(df.repartition(new_n, "_bucket"), version)
+        n_parts = new_n if full else max(len(target), 1)
+        new_files = self._write_snapshot(df.repartition(n_parts, "_bucket"), version)
+        if full:
+            files, deltas = new_files, {}
+        else:
+            files = dict(m["files"])
+            deltas = dict(m.get("deltas", {}))
+            for b in target:
+                # a bucket can legitimately compact to zero files (all rows
+                # were tombstones and got dropped)
+                files[str(b)] = new_files.get(str(b), [])
+                deltas.pop(str(b), None)
         self._commit({**m, "version": version, "parent": m["version"],
-                      "n_buckets": new_n, "files": files, "deltas": {},
-                      "metrics": {"op": "compact", "n_buckets": new_n}})
+                      "n_buckets": new_n, "files": files, "deltas": deltas,
+                      "metrics": {"op": "compact", "n_buckets": new_n,
+                                  "full": full,
+                                  "rewritten_buckets": (new_n if full
+                                                        else len(target))}})
         return version
 
     def pending_delta_files(self) -> int:
@@ -694,8 +848,52 @@ class LakeTable:
                       drop_tombstones: bool = False) -> int | None:
         """Compaction policy hook for the tailer: compact when pending MOR
         delta files exceed the threshold (bounds read amplification to
-        O(max_delta_files) extra file opens per read). Returns the new
-        version or None if below threshold."""
+        O(max_delta_files) extra file opens per read). Incremental — only
+        delta-bearing buckets are rewritten. Returns the new version or
+        None if below threshold."""
         if self.pending_delta_files() <= max_delta_files:
             return None
         return self.compact(drop_tombstones=drop_tombstones)
+
+    def expire_snapshots(self, *, keep_last: int = 10,
+                         vacuum: bool = True) -> dict:
+        """Expire old snapshot manifests (bounding ``history()`` and meta
+        disk) and optionally vacuum data files no surviving manifest
+        references (Iceberg expire_snapshots + remove_orphan_files analog).
+
+        Keeps the newest ``keep_last`` manifests; time travel earlier than
+        that is given up. Driver-side metadata work only — the file set
+        comes from manifests, never from listing data (the deletes
+        themselves are local fs ops)."""
+        current = self.current_version()
+        keep_from = max(0, current - keep_last + 1)
+        expired = 0
+        for fn in os.listdir(self._meta_dir):
+            if fn.startswith("v") and fn.endswith(".json"):
+                v = int(fn[1:-5])
+                if v < keep_from:
+                    os.remove(os.path.join(self._meta_dir, fn))
+                    expired += 1
+        removed_files = 0
+        if vacuum:
+            referenced: set[str] = set()
+            for fn in os.listdir(self._meta_dir):
+                if fn.startswith("v") and fn.endswith(".json"):
+                    with open(os.path.join(self._meta_dir, fn)) as f:
+                        mm = json.load(f)
+                    for which in ("files", "deltas"):
+                        for fl in mm.get(which, {}).values():
+                            referenced.update(fl)
+            data_root = os.path.join(self.path, _DATA)
+            for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
+                for fn in filenames:
+                    full = os.path.join(dirpath, fn)
+                    rel = os.path.relpath(full, self.path)
+                    if fn.endswith(".parquet") and rel not in referenced:
+                        os.remove(full)
+                        removed_files += 1
+                    elif fn.startswith("_") or fn.endswith(".crc"):
+                        os.remove(full)  # _SUCCESS / crc markers
+                if not os.listdir(dirpath):
+                    os.rmdir(dirpath)
+        return {"expired_manifests": expired, "removed_data_files": removed_files}

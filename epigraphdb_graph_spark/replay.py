@@ -120,7 +120,9 @@ def replay(
             apply_batch(
                 table,
                 chunk,
-                batch_id=f"replay-{start:012d}-{end:012d}",
+                # "ns:seq" structured id -> O(1) ledger entry (per-namespace
+                # high watermark); batches apply in ascending start order
+                batch_id=f"replay:{start:012d}",
                 watermark_seq=end - 1,
                 mode=mode,
                 dead_letter_dir=dead_letter_dir,

@@ -94,7 +94,7 @@ def tail_change_log(
             extra = {"quarantined": counts}
         table.merge(
             prepare_batch(events, dedup=(mode == "cow")),
-            batch_id=f"stream-{ns}-{batch_id:012d}",
+            batch_id=f"stream-{ns}:{batch_id:012d}",
             watermark_seq=wm if wm is not None else -1,
             mode=mode,
             extra_metrics=extra,

@@ -66,7 +66,7 @@ def test_tailer_exactly_once_and_resume(spark, tmp_path, events):
     table = LakeTable(spark, table_path)
     v_after_first = table.current_version()
     n_stream_batches = len(
-        [b for b in table.manifest()["applied_batches"] if b.startswith("stream-")]
+        [b for b in table.manifest()["ledger"]["recent"] if b.startswith("stream-")]
     )
     assert n_stream_batches >= 2  # maxFilesPerTrigger split it up
 
