@@ -713,31 +713,26 @@ JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE CAST(floor(i.n_common * 1000.0 / (sa.n + sb.n - i.n_common)) AS BIGINT) >= 500
 """)
 def q35(spark, sf):
-    """Exact n-gram (word-set) Jaccard near-dup pairs >= 0.5, computed via
-    explode + equi-join on the token (the distributable form: shuffle on
-    token, not a crossjoin). Integer milli-Jaccard for exactness."""
+    """Exact n-gram (word-set) Jaccard near-dup pairs >= 0.5, through the
+    library's skew-guarded operator (operators/dedup.py.jaccard_pairs):
+    candidates from tokens with document frequency <= max_token_df (here
+    60 = the doc count, so the cap PROVABLY drops nothing — DF can never
+    exceed the number of documents — and the oracle equality doubles as
+    the cap's no-op proof), Jaccard computed exactly over full token sets.
+    Integer milli-Jaccard for cross-engine exactness."""
+    from epigraphdb_graph_spark.operators.dedup import jaccard_pairs
+
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 60)
-    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w")).distinct()
-    sizes = words.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = words.alias("a"), words.alias("b")
-    inter = (
-        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    j = (
-        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .select(
-            "doc_a", "doc_b", "n_common",
-            (F.col("sa.n") + F.col("sb.n") - F.col("n_common")).alias("n_union"),
+    pairs = jaccard_pairs(d, min_jaccard=0.0, max_token_df=60)
+    return (
+        pairs.select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
+            "n_common", "n_union",
+            F.floor(F.col("n_common") * 1000.0 / F.col("n_union"))
+            .cast("bigint").alias("jaccard_milli"),
         )
-        .withColumn("jaccard_milli",
-                    F.floor(F.col("n_common") * 1000.0 / F.col("n_union")).cast("bigint"))
+        .filter(F.col("jaccard_milli") >= 500)
     )
-    return j.filter(F.col("jaccard_milli") >= 500)
 
 
 @_q("q36_ann_cosine_topk", """
@@ -921,66 +916,302 @@ def q44(spark, sf):
         "column", "n_rows", "n_null", "n_distinct", "min", "max")
 
 
-# -------------------------------------------- non-SQL-expressible (rows-only)
+# ---------------------------------------------------------------------------
+# Formerly rows-only queries, re-expressed with cross-engine oracles
+# (round-2: every queries() entry carries a DuckDB oracle).
+# Portability tricks used:
+#   - md5 hex is identical in every engine -> portable MinHash/SimHash/
+#     winnowing hash families (the q34 trick, generalized);
+#   - LSH candidate sets feed an EXACT verify whose threshold the banding
+#     parameters provably (simhash pigeonhole) or deterministically-
+#     verifiably (minhash band math at the chosen threshold) recall 100%
+#     of, so the final output equals the brute-force oracle;
+#   - float features are milli-quantized (q36 convention).
+# ---------------------------------------------------------------------------
+
+# 16-bit portable simhash: bit i = high bit of hex digit i of md5(token).
+_SIMHASH_W = 16
+_HEXHI = "('8','9','a','b','c','d','e','f')"
+_SIMHASH_SQL_BITS = ",\n".join(
+    f"    SUM(CASE WHEN substr(md5(t), {i + 1}, 1) IN {_HEXHI} "
+    f"THEN w ELSE -w END) AS b{i}"
+    for i in range(_SIMHASH_W)
+)
+_SIMHASH_SQL_FP = " + ".join(
+    f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(_SIMHASH_W)
+)
 
 
-@_q("q28_minhash_lsh_pairs")  # engine-specific xxhash64 banding; q34 carries
-def q28(spark, sf):           # the portable-md5 oracle for the same semantics
-    """Scale-path MinHash-LSH candidate pairs (operators/dedup.py): banded
-    bucket join, never an all-pairs crossjoin."""
+def _simhash_sql(doc_filter: str) -> str:
+    return f"""
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t
+  FROM documents {doc_filter}
+),
+w AS (SELECT doc_id, t, COUNT(*) AS w FROM toks GROUP BY doc_id, t),
+bits AS (
+  SELECT doc_id,
+{_SIMHASH_SQL_BITS}
+  FROM w GROUP BY doc_id
+),
+fps AS (SELECT doc_id, CAST({_SIMHASH_SQL_FP} AS BIGINT) AS simhash FROM bits)
+"""
+
+
+@_q("q41_simhash", f"""
+WITH {_simhash_sql("")}
+SELECT doc_id, simhash FROM fps
+""")
+def q41(spark, sf):
+    """Weighted-token SimHash fingerprint (operators/dedup.py
+    .simhash_portable): md5-high-bit hash family so the DuckDB oracle
+    recomputes the exact fingerprint. Production path is simhash64
+    (xxhash64, one 64-bit hash per token); identical aggregation shape —
+    per-token weight agg + width bit-sum aggs, all map-side combinable."""
+    from epigraphdb_graph_spark.operators.dedup import simhash_portable
+
+    d = _t(spark, sf, "documents")
+    return simhash_portable(d, width=_SIMHASH_W).select(
+        F.col("_id").alias("doc_id"), "simhash")
+
+
+@_q("q29_simhash_pairs", f"""
+WITH {_simhash_sql("WHERE doc_id < 300")}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""")
+def q29(spark, sf):
+    """SimHash near-dup pairs within hamming<=3 via pigeonhole banding
+    (operators/dedup.py.simhash_pairs_from_fp): with n_bands > max_hamming
+    the banded candidate set provably contains every pair within the
+    bound (recall = 1, not probabilistic), so the bucket-join plan equals
+    the oracle's all-pairs scan exactly."""
+    from epigraphdb_graph_spark.operators.dedup import (
+        simhash_pairs_from_fp, simhash_portable)
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    fps = simhash_portable(d, width=_SIMHASH_W)
+    return simhash_pairs_from_fp(
+        fps, width=_SIMHASH_W, max_hamming=3, n_bands=4
+    ).withColumn("hamming", F.col("hamming").cast("bigint"))
+
+
+@_q("q28_minhash_lsh_pairs", """
+WITH words AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+    FROM documents WHERE doc_id < 300) t
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM words GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.id_a, i.id_b,
+       CAST(floor(i.n_common * 1000.0 / (sa.n + sb.n - i.n_common)) AS BIGINT) AS jaccard_milli
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(floor(i.n_common * 1000.0 / (sa.n + sb.n - i.n_common)) AS BIGINT) >= 800
+""")
+def q28(spark, sf):
+    """Scale-path near-dup detection: MinHash-LSH banded candidates
+    (operators/dedup.py — bucket join, never an all-pairs crossjoin)
+    -> EXACT Jaccard verify on candidates only. The oracle is the
+    brute-force ground truth at jaccard >= 0.8; the plans match because
+    2-row/16-band banding misses a 0.8-pair with p = (1-0.8^2)^16 ~ 8e-8
+    (and deterministically finds all of them on this fixture — verified).
+    At corpus scale only the candidate set (o(n^2)) is ever verified."""
     from epigraphdb_graph_spark.operators.dedup import minhash_candidate_pairs
 
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
-    return minhash_candidate_pairs(d, n_hashes=32, n_bands=8)
+    cand = minhash_candidate_pairs(d, n_hashes=32, n_bands=16)
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")).distinct()
+    sizes = words.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # exact intersection restricted to candidates: fan each pair over
+    # id_a's tokens, semi-join against id_b's tokens (same shape as
+    # operators.dedup.jaccard_pairs' verify stage)
+    wa = words.select(F.col("doc_id").alias("id_a"), F.col("w").alias("_w"))
+    wb = words.select(F.col("doc_id").alias("id_b"), F.col("w").alias("_w"))
+    inter = (
+        cand.join(wa, "id_a").join(wb, ["id_b", "_w"], "left_semi")
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jm = F.floor(F.col("n_common") * 1000.0
+                 / (F.col("na") + F.col("nb") - F.col("n_common"))).cast("bigint")
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", jm.alias("jaccard_milli"))
+        .filter(F.col("jaccard_milli") >= 800)
+    )
 
 
-@_q("q29_simhash_pairs")  # xxhash64 fingerprint — rows-only
-def q29(spark, sf):
-    """SimHash near-dup pairs within hamming<=12 via pigeonhole banding
-    (operators/dedup.py.simhash_candidate_pairs)."""
-    from epigraphdb_graph_spark.operators.dedup import simhash_candidate_pairs
-
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
-    return simhash_candidate_pairs(d, max_hamming=12, n_bands=16)
+# q39: cross-engine-reproducible multi-probe LSH. Integer-quantized sign
+# signatures (operators/similarity.py.int_signature) make the bucket
+# assignment EXACT integer arithmetic, so the DuckDB oracle recomputes the
+# identical LSH — candidates, scores, and top-k all match by construction.
+_Q39_DIM, _Q39_PLANES_N, _Q39_PROBE = 64, 8, 2
 
 
-@_q("q39_ann_lsh")  # plane hashes engine-specific; exact baseline q36 has oracle
+def _q39_planes():
+    from epigraphdb_graph_spark.operators.similarity import lcg_planes_int
+
+    return lcg_planes_int(_Q39_DIM, _Q39_PLANES_N)
+
+
+def _q39_sig_sql(emb: str) -> str:
+    """DuckDB twin of int_signature over a DOUBLE[] column expr ``emb``."""
+    bits = []
+    for p, plane in enumerate(_q39_planes()):
+        lit = "[" + ",".join(str(w) for w in plane) + "]"
+        dp = (f"list_reduce(list_transform(range(1, {_Q39_DIM + 1}), "
+              f"i -> CAST(floor({emb}[i] * 1000000.0) AS BIGINT) * ({lit})[i]), "
+              f"(a, b) -> a + b)")
+        bits.append(f"(CASE WHEN {dp} > 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+@_q("q39_ann_lsh", f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT emb AS e0 FROM e WHERE vec_id = 0),
+qs AS (SELECT {_q39_sig_sql("e0")} AS qsig FROM q),
+sigs AS (
+  SELECT vec_id, label, emb, {_q39_sig_sql("emb")} AS sig
+  FROM e WHERE vec_id <> 0
+)
+SELECT vec_id, label, sim_milli FROM (
+  SELECT vec_id, label,
+         CAST(floor(list_cosine_similarity(emb, (SELECT e0 FROM q)) * 10000) AS BIGINT) AS sim_milli,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(floor(list_cosine_similarity(emb, (SELECT e0 FROM q)) * 10000) AS BIGINT) DESC,
+                    vec_id ASC) AS rn
+  FROM sigs WHERE bit_count(xor(sig, (SELECT qsig FROM qs))) <= {_Q39_PROBE}) x
+WHERE rn <= 10
+""")
 def q39(spark, sf):
-    """Multi-probe RP-LSH approximate top-k (operators/similarity.py) —
-    the bucket-pruned scale path of q36's brute-force cosine."""
-    from epigraphdb_graph_spark.operators.similarity import cosine_topk_lsh
+    """Multi-probe LSH approximate top-k — the bucket-pruned scale path of
+    q36's brute-force scan. Signatures are integer-exact
+    (floor-quantized embedding · integer LCG planes — similarity.py
+    .int_signature), so the oracle reproduces the exact same buckets,
+    candidate set (~20% of rows at probe<=2 of 8 planes), and ranking;
+    no float-summation-order hazard anywhere in the bucket math. At scale
+    the bucketed table is partitioned by signature and a probe reads only
+    the matching partitions. Recall-vs-exact is covered by the pytest
+    recall test on the Gaussian-plane production path."""
+    from epigraphdb_graph_spark.operators.similarity import (
+        int_signature, int_signature_py)
 
     e = _t(spark, sf, "embeddings")
     row = e.filter(F.col("vec_id") == 0).select("embedding").first()
-    q = [float(x) for x in row["embedding"]]
-    return cosine_topk_lsh(
-        e.filter(F.col("vec_id") != 0), q, k=10, n_planes=8, multiprobe_bits=2)
+    qv = [float(x) for x in row["embedding"]]
+    planes = _q39_planes()
+    qsig = int_signature_py(qv, planes)
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .withColumn("_sig", int_signature(F.col("embedding"), planes))
+        .filter(F.bit_count(F.col("_sig").bitwiseXOR(F.lit(qsig))) <= _Q39_PROBE)
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    qc = F.array(*[F.lit(v) for v in qv])
+    cos = dot(F.col("embedding"), qc) / (
+        F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(dot(qc, qc)))
+    w = W.orderBy(F.desc("sim_milli"), F.asc("vec_id"))
+    return (
+        cand.select("vec_id", "label",
+                    F.floor(cos * 10000).cast("bigint").alias("sim_milli"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 10").drop("rn")
+    )
 
 
-@_q("q42_multimodal_features")  # mapInPandas stub decode — rows-only
+@_q("q42_multimodal_features", """
+WITH m AS (
+  SELECT doc_id AS id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         text, length(text) AS n
+  FROM documents
+),
+b AS (
+  SELECT id, kind, n, i % 16 AS slot, ord(substr(text, i + 1, 1)) AS byte
+  FROM m, UNNEST(range(0, n)) AS t(i)
+)
+SELECT id, ANY_VALUE(kind) AS kind, CAST(ANY_VALUE(n) AS BIGINT) AS n_bytes,
+       CAST(floor(1000.0 * (SUM(CASE WHEN slot = 0 THEN byte ELSE 0 END) / ANY_VALUE(n))) AS BIGINT) AS feat0_milli,
+       CAST(floor(1000.0 * (SUM(CASE WHEN slot = 7 THEN byte ELSE 0 END) / ANY_VALUE(n))) AS BIGINT) AS feat7_milli,
+       CAST(floor(1000.0 * (SUM(CASE WHEN slot = 15 THEN byte ELSE 0 END) / ANY_VALUE(n))) AS BIGINT) AS feat15_milli
+FROM b GROUP BY id
+""")
 def q42(spark, sf):
-    """Multimodal feature extraction plumbing: synthetic binary media ->
-    Arrow-batched mapInPandas features (functions/multimodal.py; decode
-    kernel stubbed, batch/schema/partition plumbing real)."""
-    from epigraphdb_graph_spark.functions.multimodal import (
-        extract_features, synthesize_media)
+    """Multimodal feature-extraction plumbing: binary media payloads ->
+    Arrow-batched mapInPandas features (functions/multimodal.py). The
+    decode kernel is a deterministic stub (no codec libs in the sandbox:
+    byte-histogram moments — exactly recomputable from the payload bytes,
+    which is what makes this oracle-checkable); the Spark-side plumbing
+    (binary columns, batch capping, schema, column pruning) is the real
+    production shape. Payloads here are the documents' utf-8 bytes so the
+    oracle can reproduce them; synthesize_media covers the pure-binary
+    test path."""
+    from epigraphdb_graph_spark.functions.multimodal import extract_features
 
-    media = synthesize_media(spark, 500, seed=42)
-    return extract_features(media, batch_rows=128).select(
-        "id", "kind", "n_bytes", F.size("feature").alias("feat_dim"))
+    d = _t(spark, sf, "documents")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"))
+    media = d.select(
+        F.col("doc_id").alias("id"), kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"))
+    feats = extract_features(media, batch_rows=128)
+    milli = lambda i: F.floor(1000.0 * F.element_at("feature", i + 1)).cast("bigint")  # noqa: E731
+    return feats.select(
+        "id", "kind", "n_bytes",
+        milli(0).alias("feat0_milli"),
+        milli(7).alias("feat7_milli"),
+        milli(15).alias("feat15_milli"),
+    )
 
 
-@_q("q43_doc_fingerprints")  # xxhash64 winnowing — rows-only
+@_q("q43_doc_fingerprints", """
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 200
+),
+wins AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(toks[i + 1:i + 6], ' ')) AS fp
+  FROM docs, UNNEST(range(0, greatest(len(toks) - 6, 0) + 1)) AS t(i)
+),
+keep AS (SELECT doc_id, fp FROM wins WHERE substr(fp, 32, 1) IN ('0','4','8','c'))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fingerprints
+FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+""")
 def q43(spark, sf):
-    """Winnowing fingerprints -> shared-passage containment pairs
-    (functions/text.py.rolling_fingerprints): explode + self-join on the
-    fingerprint hash (shuffle on hash, crossjoin never materializes)."""
-    from epigraphdb_graph_spark.functions.text import rolling_fingerprints
-
+    """Winnowing-style document fingerprints -> shared-passage containment
+    pairs: 6-token rolling windows, md5 fingerprint (portable hash family
+    — oracle recomputes it; functions/text.py.rolling_fingerprints is the
+    xxhash64 production variant), keep-1-in-4 selection by the hash's low
+    hex digit, then a self-join on the fingerprint (shuffle on hash — the
+    crossjoin never materializes)."""
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
-    fp = d.select(
-        "doc_id", F.explode(rolling_fingerprints(F.col("text"), window=6, keep_mod=4)).alias("fp"))
-    a, b = fp.alias("a"), fp.alias("b")
+    toks = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 6, F.lit(0)))
+    fps = F.transform(idx, lambda i: F.md5(F.array_join(F.slice(toks, i + 1, 6), " ")))
+    keep = d.select(
+        "doc_id",
+        F.explode(fps).alias("fp"),
+    ).filter(F.substring("fp", 32, 1).isin("0", "4", "8", "c")).distinct()
+    a, b = keep.alias("a"), keep.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -988,10 +1219,21 @@ def q43(spark, sf):
         .agg(F.count("*").alias("shared_fingerprints"))
     )
 
-@_q("q40_extraction_udf")  # no oracle: pandas UDF + engine fn; byte-identity
-def q40(spark, sf):         # is separately pytest-verified vs the shared fn
-    """html→text extraction through the vectorized pandas UDF over a binary
-    column synthesized from documents (engine input_hint path)."""
+
+@_q("q40_extraction_udf", """
+SELECT doc_id,
+       array_to_string(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), ' ') AS text,
+       CAST(length(array_to_string(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), ' ')) AS BIGINT) AS text_len
+FROM documents
+""")
+def q40(spark, sf):
+    """html→text extraction through the vectorized pandas UDF over a
+    binary column synthesized from documents (engine input_hint path).
+    On `<p>`-wrapped input, extract_text reduces to tag-strip +
+    whitespace-normalize, which the oracle reproduces byte-for-byte with
+    a split/filter/join chain (the full byte-identity contract incl.
+    script/comment stripping and entity unescape is pytest-verified
+    against the shared pure function in tests/test_functions.py)."""
     from epigraphdb_graph_spark.functions.extract import extract_text_udf
 
     d = _t(spark, sf, "documents")
@@ -1002,27 +1244,60 @@ def q40(spark, sf):         # is separately pytest-verified vs the shared fn
     return d.select(
         "doc_id", html.alias("html")
     ).withColumn("text", extract_text_udf("html")).select(
-        "doc_id", F.length("text").alias("text_len")
+        "doc_id", "text", F.length("text").cast("bigint").alias("text_len")
     )
 
 
-@_q("q41_simhash")  # no oracle: bit-manipulation fingerprint, rows-only check
-def q41(spark, sf):
-    """64-bit SimHash document fingerprint via weighted token hash bits —
-    computed with JVM expressions (xxhash64 + bitwise ops), engine-specific
-    hash so no cross-engine oracle."""
-    d = _t(spark, sf, "documents")
-    tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    h = F.xxhash64("tok")
-    bit_cols = [
-        F.sum(F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)).alias(f"b{i}")
-        for i in range(16)  # 16-bit demo width; operators/dedup.py does 64
-    ]
-    agg = tokens.groupBy("doc_id").agg(*bit_cols)
-    sim = sum(
-        (F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(0)) for i in range(16)
+# ------------------------------------------------ round-2 join-family gaps
+
+
+@_q("q47_ci_name_join", """
+SELECT n.n_nationkey AS nationkey, n.n_name AS name, u.uname AS label
+FROM nation n
+JOIN (SELECT DISTINCT upper(n_name) AS uname FROM nation) u
+  ON lower(n.n_name) = lower(u.uname)
+""")
+def q47(spark, sf):
+    """Case-insensitive expression join (SURVEY J7; ref
+    nodes/disease/mondo.py:144-157, nodes/literature_term/semmed.py:108 —
+    lower(name)==lower(label) matching of curated labels). Catalyst
+    evaluates lower() on both join keys inside the hash join; the small
+    label side is broadcast."""
+    n = _t(spark, sf, "nation")
+    labels = n.select(F.upper("n_name").alias("uname")).distinct()
+    return (
+        n.join(F.broadcast(labels),
+               F.lower(F.col("n_name")) == F.lower(F.col("uname")))
+        .select(F.col("n_nationkey").alias("nationkey"),
+                F.col("n_name").alias("name"),
+                F.col("uname").alias("label"))
     )
-    return agg.select("doc_id", sim.cast("bigint").alias("simhash16"))
+
+
+@_q("q48_right_join_top1", """
+SELECT c_custkey, o_orderkey, order_ts FROM (
+  SELECT c.c_custkey, o.o_orderkey, o.o_orderdate AS order_ts,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.c_custkey
+           ORDER BY o.o_orderdate DESC NULLS LAST,
+                    o.o_orderkey DESC NULLS LAST) AS rn
+  FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey) x
+WHERE rn = 1
+""")
+def q48(spark, sf):
+    """Right join preserving unmatched rows + top-1-per-key dedup (SURVEY
+    J3; ref nodes/literature/semrep-biorxiv.py:40-44 — right-merge then
+    drop_duplicates keep-latest). Customers with no orders survive with
+    null order columns; per customer the latest order wins via a window
+    with explicit null ordering (cross-engine deterministic)."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"], "right").select(
+        "c_custkey", "o_orderkey", F.col("o_orderdate").alias("order_ts"))
+    w = W.partitionBy("c_custkey").orderBy(
+        F.col("order_ts").desc_nulls_last(),
+        F.col("o_orderkey").desc_nulls_last())
+    return j.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -6,7 +6,8 @@ one Spark driver program, packaged for ``spark-submit --py-files``::
 
     python -m epigraphdb_graph_spark.packaging   # builds dist/epigraphdb_graph_spark.zip
     spark-submit --py-files dist/epigraphdb_graph_spark.zip \\
-        -m epigraphdb_graph_spark.cli replay --events 1000000 --table /data/pages
+        $(python -c 'import epigraphdb_graph_spark.cli as c; print(c.__file__)') \\
+        replay --events 1000000 --table /data/pages
 
 (Driver-launched sessions also work from any cwd: session.get_spark ships
 the zip via addPyFile automatically.)
@@ -115,8 +116,19 @@ def cmd_compact(args) -> int:
 
     spark = _spark(args)
     table = LakeTable(spark, args.table)
-    v = table.compact(drop_tombstones=args.drop_tombstones)
+    v = table.compact(drop_tombstones=args.drop_tombstones, full=args.full)
     print(json.dumps({"version": v, "rows": table.read().count()}))
+    return 0
+
+
+def cmd_expire(args) -> int:
+    from .plans.lake import LakeTable
+
+    spark = _spark(args)
+    table = LakeTable(spark, args.table)
+    stats = table.expire_snapshots(keep_last=args.keep_last,
+                                   vacuum=not args.no_vacuum)
+    print(json.dumps({"version": table.current_version(), **stats}))
     return 0
 
 
@@ -176,11 +188,19 @@ def main(argv: list[str] | None = None) -> int:
     _add_common(p)
     p.set_defaults(fn=cmd_tail)
 
-    p = sub.add_parser("compact", help="fold MOR deltas / compact small files")
+    p = sub.add_parser("compact", help="fold MOR deltas (incremental; --full rewrites all buckets)")
     p.add_argument("--table", required=True)
     p.add_argument("--drop-tombstones", action="store_true")
+    p.add_argument("--full", action="store_true")
     _add_common(p)
     p.set_defaults(fn=cmd_compact)
+
+    p = sub.add_parser("expire", help="expire old snapshots + vacuum unreferenced files")
+    p.add_argument("--table", required=True)
+    p.add_argument("--keep-last", type=int, default=10)
+    p.add_argument("--no-vacuum", action="store_true")
+    _add_common(p)
+    p.set_defaults(fn=cmd_expire)
 
     p = sub.add_parser("show", help="table state, schema, lineage")
     p.add_argument("--table", required=True)

@@ -51,15 +51,17 @@ _FEATURE_DIM = 16
 def _decode_image_stub(payload: bytes) -> list[float]:
     """STUB — no image libs in this container (would be PIL/turbojpeg).
     Deterministic fake 'embedding': byte-histogram moments of the payload.
-    Replace with a real decode+model call in production; the call site,
-    batching, and schema do not change."""
+    Exact IEEE int/int division, no rounding — so the values are
+    recomputable bit-for-bit by any engine (q42's DuckDB oracle). Replace
+    with a real decode+model call in production; the call site, batching,
+    and schema do not change."""
     if payload is None:
         return None
     acc = [0] * _FEATURE_DIM
     for i, b in enumerate(payload):
         acc[i % _FEATURE_DIM] += b
     n = max(len(payload), 1)
-    return [round(a / n, 6) for a in acc]
+    return [a / n for a in acc]
 
 
 def extract_features(media: DataFrame, *, batch_rows: int = 256) -> DataFrame:

@@ -8,6 +8,8 @@ from .dedup import (  # noqa: F401
     minhash_signatures,
     simhash64,
     simhash_candidate_pairs,
+    simhash_pairs_from_fp,
+    simhash_portable,
 )
 from .similarity import (  # noqa: F401
     cosine_neardup_pairs,

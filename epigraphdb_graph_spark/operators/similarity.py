@@ -77,6 +77,64 @@ def _signature(vec_col, planes: list[list[float]]):
     return sig
 
 
+def lcg_planes_int(dim: int, n_planes: int) -> list[list[int]]:
+    """Deterministic *integer* hyperplane normals in [-1024, 1023] from a
+    pure-arithmetic LCG (no RNG object): plane[p][j] depends only on
+    (p, j). Integer components + integer-quantized vectors make the sign
+    test exact integer arithmetic — bit-identical in ANY engine
+    (the cross-engine-reproducible LSH used by the q39 oracle). Uniform
+    (not Gaussian) components still give a symmetric sign hash."""
+    out = []
+    for p in range(n_planes):
+        row = []
+        for j in range(dim):
+            k = p * dim + j + 1
+            m = (1103515245 * k + 12345) % 2147483648
+            row.append((m % 2048) - 1024)
+        out.append(row)
+    return out
+
+
+_QUANT = 1_000_000  # embedding quantization for the integer sign test
+
+
+def int_signature(vec_col, planes: list[list[int]]):
+    """Integer-exact sign signature: bit p = 1 iff
+    sum_j floor(v[j] * 1e6) * plane[p][j] > 0. All int64 arithmetic after
+    the (deterministic, cross-engine-identical) floor quantization — no
+    float-summation-order hazard, so an external oracle recomputes the
+    exact same buckets. Magnitude bound: |term| <= 1e6*1024, so dims up
+    to ~10^6 stay within int64."""
+    q = F.transform(
+        vec_col, lambda x: F.floor(x.cast("double") * F.lit(float(_QUANT))).cast("long")
+    )
+    sig = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        arr = F.array(*[F.lit(int(w)).cast("long") for w in plane])
+        dp = F.aggregate(
+            F.zip_with(q, arr, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(dp > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def int_signature_py(vec: list[float], planes: list[list[int]]) -> int:
+    """Driver-side twin of :func:`int_signature` (for query vectors) —
+    same floor-quantized integer arithmetic, guaranteed to agree."""
+    import math
+
+    sig = 0
+    for p, plane in enumerate(planes):
+        dp = sum(int(math.floor(v * _QUANT)) * w for v, w in zip(vec, plane))
+        if dp > 0:
+            sig |= 1 << p
+    return sig
+
+
 def rp_lsh_buckets(
     df: DataFrame,
     *,

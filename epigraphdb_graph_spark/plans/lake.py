@@ -344,9 +344,11 @@ class LakeTable:
             for f in deltas.get(str(b), [])
         )
         if n_delta_rows > RESOLVE_BROADCAST_MAX_DELTA_ROWS:
-            # Compaction-overdue fallback: key-partitioned shuffle
-            # resolution. One exchange of the hot buckets' full rows —
-            # O(hot data), bounded executor memory, no driver broadcast.
+            # Compaction-overdue overflow: key-partitioned shuffle
+            # resolution — one exchange of the hot buckets' full rows,
+            # O(hot data), bounded executor memory, no driver broadcast,
+            # ties deduped by row_number. Correct at any size; only pays
+            # the full-row shuffle a neglected table forces.
             from pyspark.sql import Window
 
             w = Window.partitionBy(key).orderBy(F.desc("_ord"))
@@ -359,9 +361,12 @@ class LakeTable:
 
         # Winners restricted to delta-touched keys: a column-pruned pass
         # (parquet reads key, _ts, _seq only) semi-joined to the distinct
-        # delta keys, then one tiny hash agg. O(delta keys), not O(table
-        # keys) — base rows whose key never appears in a delta are already
-        # their own winners and skip resolution entirely.
+        # delta keys, then two chained hash aggs. O(delta keys), not
+        # O(table keys) — base rows whose key never appears in a delta are
+        # already their own winners and skip resolution entirely. The
+        # second agg ALSO counts rows tied at the winning _ord (max_by of
+        # the per-(key,_ord) count), so tie collapse below touches only
+        # keys that truly received re-delivered duplicates.
         pruned = (
             base_hot.select(key, "_ts", "_seq")
             .unionByName(delta_df.select(key, "_ts", "_seq"))
@@ -370,20 +375,27 @@ class LakeTable:
         dkeys = delta_df.select(F.col(key).alias("_dk")).distinct()
         winners = (
             pruned.join(F.broadcast(dkeys), F.col(key) == F.col("_dk"), "left_semi")
+            .groupBy(key, "_ord")
+            .agg(F.count("*").alias("_cnt"))
             .groupBy(F.col(key).alias("_wk"))
-            .agg(F.max("_ord").alias("_word"))
+            .agg(F.max("_ord").alias("_word"),
+                 F.max_by("_cnt", "_ord").alias("_wties"))
         )
         j = union_hot.join(F.broadcast(winners), F.col(key) == F.col("_wk"), "left")
-        # key untouched by any delta -> no winner row -> passes through
-        untouched = j.filter(F.col("_wk").isNull()).drop("_wk", "_word", "_ord")
-        winner_rows = j.filter(
-            F.col("_wk").isNotNull() & (F.col("_ord") == F.col("_word"))
-        ).drop("_wk", "_word", "_ord")
-        # Ties (equal (_ts,_seq)) are re-delivered copies of the same event:
-        # collapse to exactly one row per key. This dedup shuffles only the
-        # O(delta keys) winner rows, never the untouched base rows.
-        return base_cold.unionByName(untouched).unionByName(
-            winner_rows.dropDuplicates([key])
+        # key untouched by any delta -> no winner row -> passes through;
+        # unique winners stream through map-side with zero extra exchange
+        clean = j.filter(
+            F.col("_wk").isNull()
+            | ((F.col("_ord") == F.col("_word")) & (F.col("_wties") == 1))
+        ).drop("_wk", "_word", "_wties", "_ord")
+        # Ties (equal (_ts,_seq)) are re-delivered copies of the same
+        # event: collapse to exactly one row per key. Only the tied keys
+        # (normally zero) are shuffled here — never the bulk.
+        tied = j.filter(
+            (F.col("_ord") == F.col("_word")) & (F.col("_wties") > 1)
+        ).drop("_wk", "_word", "_wties", "_ord")
+        return base_cold.unionByName(clean).unionByName(
+            tied.dropDuplicates([key])
         )
 
     def read(self, version: int | None = None, *, with_system_cols: bool = False) -> DataFrame:

@@ -1,0 +1,260 @@
+"""Declarative YAML registry: config-file-driven schemas + datasets.
+
+The reference pipeline's core UX is two validated YAML files driving the
+whole build — ``config/db_schema.yaml`` (per-label schemas: properties,
+types, unique index; 1456 lines) and ``config/data_integration.yaml``
+(per-dataset source files + scripts), validated up front at
+``workflow/Snakefile:34-70`` via the pydantic models in
+``tests/utils/models.py:5-39``. This module is the Spark engine's analog:
+one YAML file declares tables (-> :class:`~.schema.TableContract`) and
+datasets (-> :class:`~.sources.ingest.Dataset`), validated eagerly with
+reference-style fail-fast errors, and ``ingest_from_config`` runs the
+whole registry without any per-dataset code.
+
+Config shape::
+
+    tables:
+      pages:
+        key: url                      # unique index  (db_schema.yaml `index`)
+        required: [url, warc_ts]      # non-null props (`required: true`)
+        columns:                      # name -> type   (`type:` per property)
+          url: string
+          warc_ts: timestamp
+          html: binary
+    datasets:
+      - name: crawl_a                 # data_integration.yaml dataset id
+        table: pages                  # target label
+        source: crawl-a               # provenance string (`source:`)
+        format: csv                   # csv|json|parquet (reader dispatch)
+        path: pages_a.csv.gz          # relative to base_dir
+        options: {sep: ",", header: true}
+        id_prop: url
+
+Validation is eager and total: every error in the file is reported in one
+pass (the reference aborts the Snakemake DAG the same way before any work
+runs).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .schema import TableContract
+from .sources.ingest import Dataset
+
+#: YAML type name -> Spark type (reference db_schema.yaml uses a similar
+#: closed vocabulary; unknown names are a config error, never a guess).
+TYPE_MAP: dict[str, T.DataType] = {
+    "string": T.StringType(),
+    "int": T.IntegerType(),
+    "integer": T.IntegerType(),
+    "long": T.LongType(),
+    "bigint": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "timestamp": T.TimestampType(),
+    "date": T.DateType(),
+    "binary": T.BinaryType(),
+}
+
+FORMATS = ("csv", "json", "parquet")
+
+
+class RegistryError(ValueError):
+    """Config validation failure; message lists every problem found."""
+
+
+@dataclass
+class DatasetSpec:
+    """Validated dataset row before reader binding (pure data — the
+    YAML-visible contract, analog of a data_integration.yaml entry)."""
+
+    name: str
+    table: str
+    source: str
+    format: str
+    path: str
+    options: dict = field(default_factory=dict)
+    id_prop: str | None = None
+    name_prop: str | None = None
+
+
+@dataclass
+class Registry:
+    contracts: dict[str, TableContract]
+    dataset_specs: list[DatasetSpec]
+
+    def datasets(self, spark_base_dir: str) -> list[Dataset]:
+        """Bind each spec to a concrete reader rooted at ``spark_base_dir``
+        and its table's contract — ready for sources.ingest.ingest()."""
+        out = []
+        for spec in self.dataset_specs:
+            out.append(
+                Dataset(
+                    meta_id=spec.name,
+                    source=spec.source,
+                    reader=_make_reader(spec, spark_base_dir,
+                                        self.contracts[spec.table]),
+                    contract=self.contracts[spec.table],
+                    id_prop=spec.id_prop,
+                    name_prop=spec.name_prop,
+                )
+            )
+        return out
+
+
+def _make_reader(spec: DatasetSpec, base_dir: str, contract: TableContract):
+    path = os.path.join(base_dir, spec.path)
+
+    def reader(spark: SparkSession) -> DataFrame:
+        if spec.format == "csv":
+            from .sources.readers import read_delimited
+
+            return read_delimited(
+                spark, path,
+                sep=spec.options.get("sep", ","),
+                header=spec.options.get("header", True),
+                schema=contract.schema,
+                comment=spec.options.get("comment"),
+                drop_malformed=spec.options.get("drop_malformed", False),
+            )
+        if spec.format == "json":
+            record_path = spec.options.get("record_path")
+            if record_path:
+                from .sources.readers import read_json_records
+
+                rec = read_json_records(
+                    spark, path, record_path,
+                    multi_line=spec.options.get("multi_line", True),
+                )
+                return rec.select("record.*")
+            return spark.read.option(
+                "multiLine", str(spec.options.get("multi_line", False)).lower()
+            ).json(path)
+        return spark.read.parquet(path)
+
+    return reader
+
+
+def load_registry(config: dict | str) -> Registry:
+    """Parse + validate a registry config (a YAML file path or an
+    already-parsed dict). All errors are collected and raised together."""
+    if isinstance(config, str):
+        import yaml
+
+        with open(config) as f:
+            config = yaml.safe_load(f)
+    if not isinstance(config, dict):
+        raise RegistryError("registry config must be a mapping")
+
+    errors: list[str] = []
+    contracts: dict[str, TableContract] = {}
+
+    tables = config.get("tables")
+    if not isinstance(tables, dict) or not tables:
+        errors.append("'tables' must be a non-empty mapping")
+        tables = {}
+    for tname, tdef in tables.items():
+        if not isinstance(tdef, dict):
+            errors.append(f"table {tname!r}: definition must be a mapping")
+            continue
+        cols = tdef.get("columns")
+        if not isinstance(cols, dict) or not cols:
+            errors.append(f"table {tname!r}: 'columns' must be a non-empty mapping")
+            continue
+        fields_, colerrs = [], []
+        required = tdef.get("required", []) or []
+        for cname, ctype in cols.items():
+            if ctype not in TYPE_MAP:
+                colerrs.append(
+                    f"table {tname!r}, column {cname!r}: unknown type {ctype!r} "
+                    f"(known: {sorted(TYPE_MAP)})")
+                continue
+            fields_.append(
+                T.StructField(cname, TYPE_MAP[ctype], cname not in required))
+        errors.extend(colerrs)
+        key = tdef.get("key")
+        if key is not None and key not in cols:
+            errors.append(f"table {tname!r}: key {key!r} is not a declared column")
+        for r in required:
+            if r not in cols:
+                errors.append(
+                    f"table {tname!r}: required column {r!r} is not declared")
+        if not colerrs:
+            contracts[tname] = TableContract(
+                name=tname, schema=T.StructType(fields_), key=key,
+                required=list(required))
+
+    specs: list[DatasetSpec] = []
+    seen_names: set[str] = set()
+    for i, ddef in enumerate(config.get("datasets", []) or []):
+        label = f"dataset #{i}"
+        if not isinstance(ddef, dict):
+            errors.append(f"{label}: must be a mapping")
+            continue
+        name = ddef.get("name")
+        label = f"dataset {name!r}" if name else label
+        for req in ("name", "table", "source", "format", "path"):
+            if not ddef.get(req):
+                errors.append(f"{label}: missing required field {req!r}")
+        if name in seen_names:
+            errors.append(f"{label}: duplicate dataset name")
+        seen_names.add(name)
+        fmt = ddef.get("format")
+        if fmt and fmt not in FORMATS:
+            errors.append(f"{label}: unknown format {fmt!r} (known: {FORMATS})")
+        table = ddef.get("table")
+        if table and tables and table not in tables:
+            errors.append(f"{label}: unknown target table {table!r}")
+        id_prop = ddef.get("id_prop")
+        if id_prop and table in tables and isinstance(tables[table], dict) \
+                and id_prop not in (tables[table].get("columns") or {}):
+            errors.append(f"{label}: id_prop {id_prop!r} not in table {table!r}")
+        opts = ddef.get("options", {}) or {}
+        if not isinstance(opts, dict):
+            errors.append(f"{label}: 'options' must be a mapping")
+            opts = {}
+        if name and table in contracts and fmt in FORMATS and ddef.get("path"):
+            specs.append(DatasetSpec(
+                name=name, table=table, source=ddef.get("source", name),
+                format=fmt, path=ddef["path"], options=opts,
+                id_prop=id_prop, name_prop=ddef.get("name_prop")))
+
+    if errors:
+        raise RegistryError(
+            "invalid registry config:\n  - " + "\n  - ".join(errors))
+    return Registry(contracts=contracts, dataset_specs=specs)
+
+
+def ingest_from_config(
+    spark: SparkSession,
+    config: dict | str,
+    base_dir: str,
+    *,
+    key_table: str | None = None,
+    check_unique: bool = True,
+) -> DataFrame:
+    """Run every dataset in the config through the ingest lifecycle and
+    consolidate per key — the whole reference build loop
+    (Snakefile target sweep) as one config-driven call. ``key_table``
+    selects which table's key drives consolidation (defaults to the single
+    table when unambiguous)."""
+    from .sources.ingest import ingest_all
+
+    reg = load_registry(config)
+    if key_table is None:
+        if len(reg.contracts) != 1:
+            raise RegistryError(
+                "key_table required when the config declares multiple tables")
+        key_table = next(iter(reg.contracts))
+    key = reg.contracts[key_table].key
+    if not key:
+        raise RegistryError(f"table {key_table!r} has no key — cannot consolidate")
+    datasets = [d for d in reg.datasets(base_dir)
+                if d.contract is reg.contracts[key_table]]
+    return ingest_all(spark, datasets, key, check_unique=check_unique)

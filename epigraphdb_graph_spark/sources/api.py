@@ -35,14 +35,23 @@ def fetch_records(
     *,
     schema: T.StructType | str,
     transpose: bool = False,
+    transpose_id_col: str = "id",
 ) -> DataFrame:
     """Driver-side fetch -> DataFrame. ``pages`` is any iterable of JSON
     documents (the caller's paging loop, already authenticated).
     ``transpose=True`` handles the dict-of-dicts orientation the reference
-    meets (pd.DataFrame(res).T — source/get_opengwas.py:26-27)."""
+    meets (pd.DataFrame(res).T — source/get_opengwas.py:26-27); the outer
+    dict's keys (the record ids, which land in the pandas index after
+    ``.T``) are preserved as ``transpose_id_col`` — createDataFrame drops
+    the index, so they must be reset into a real column."""
     frames = []
     for doc in pages:
-        pdf = pd.DataFrame(doc).T if transpose else pd.DataFrame(doc)
+        if transpose:
+            pdf = pd.DataFrame(doc).T
+            pdf.index.name = transpose_id_col
+            pdf = pdf.reset_index()
+        else:
+            pdf = pd.DataFrame(doc)
         frames.append(pdf)
     if not frames:
         return spark.createDataFrame([], schema)

@@ -115,13 +115,19 @@ def read_wide_matrix(
     skipped, tissues as columns — nodes/tissue/gtex.py:28-34,
     rels/tissue-gene-gtex.py:29-41): skip the metadata prefix, take the
     next line as the header, ``unpivot`` every non-id column. unpivot is
-    a zero-shuffle narrow op; the prefix skip is a text read + from_csv
-    (pure DataFrame ops — no RDDs)."""
+    a zero-shuffle narrow op. The prefix skip needs a *true* line index:
+    ``zipWithIndex`` (one extra partition-count job) — NOT
+    monotonically_increasing_id, whose ids jump 2^33 per partition and
+    only order correctly if the prefix happens to land in partition 0."""
     if skip_rows == 0:
         df = read_delimited(spark, path, sep=sep, header=True)
     else:
-        txt = spark.read.text(path).withColumn(
-            "_rn", F.monotonically_increasing_id())
+        txt = (
+            spark.read.text(path)
+            .rdd.zipWithIndex()
+            .toDF(["_row", "_rn"])
+            .select(F.col("_row.value").alias("value"), "_rn")
+        )
         hdr_line = (
             txt.filter(F.col("_rn") >= skip_rows).orderBy("_rn").first()["value"]
         )

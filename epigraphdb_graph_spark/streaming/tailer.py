@@ -13,10 +13,12 @@ Exactly-once story (north_rule), two independent layers:
 1. **Source offsets**: the streaming checkpoint records which log files
    each micro-batch consumed; after a crash, Spark re-delivers the same
    batch with the same ``batch_id``.
-2. **Idempotent sink**: ``LakeTable.merge`` records ``stream-{batch_id}``
-   in the table manifest — a re-delivered micro-batch is a committed no-op,
-   and even a *manually* re-applied event is a per-row stale no-op via the
-   ``(warc_ts, event_seq)`` guard.
+2. **Idempotent sink**: ``LakeTable.merge`` records ``stream-{ns}:{seq}``
+   in the table's bounded batch ledger (per-namespace high watermark — the
+   manifest does not grow with replay length) — a re-delivered micro-batch
+   is a committed no-op, and even a *manually* re-applied event is a
+   per-row stale no-op via the ``(warc_ts, event_seq)`` guard (COW) /
+   read-resolution tie-dedup (MOR).
 
 Together: end-to-end exactly-once into the lake table, resumable by simply
 restarting the query with the same checkpoint dir.

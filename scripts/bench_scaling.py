@@ -72,8 +72,10 @@ def main():
     runs = int(sys.argv[4]) if len(sys.argv) > 4 else 2
 
     best: dict[int, dict] = {}
-    for cores in CORE_PAIR:
-        for t in range(runs):
+    # interleaved trials (N, 4N, N, 4N, ...): both levels sample the same
+    # host-interference windows, so best-of comparisons are like-for-like
+    for t in range(runs):
+        for cores in CORE_PAIR:
             r = run_level(cores, n_events, mode, body_repeat)
             print(f"local[{cores}] run{t}: {r['wall_s']}s  "
                   f"{r['events_per_sec']} events/sec  final_rows={r['final_rows']}")
@@ -89,30 +91,41 @@ def main():
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%MZ")
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
     path = os.path.join(ROOT, "BENCH", "BASELINE.md")
-    header_needed = not os.path.exists(path)
-    with open(path, "a") as f:
-        if header_needed:
+    row = (
+        f"| {stamp} | {mode} | {n_events} | {70 * body_repeat} | {tp_lo} | {tp_hi} | {eff:.3f} "
+        f"| {best[hi]['final_rows']} |\n"
+    )
+    header = "| run (UTC) | mode | events | ~page B | ev/s @N=2 | ev/s @4N=8 | efficiency | final rows |\n"
+    if not os.path.exists(path):
+        with open(path, "w") as f:
             f.write(
                 "# BENCH/BASELINE.md — measured scaling evidence\n\n"
                 "north_rule criterion: throughput scaling efficiency >= 0.8 from N to 4N\n"
                 "executors. Sandbox evidence: identical deterministic replay job (synthetic\n"
                 "Common-Crawl-style change log, KB-scale pages, Zipf domains) at local[N]\n"
                 "vs local[4N], fresh JVM per level, full-shape warmup excluded from the\n"
-                "timed region, best-of-k trials per level (host shows interference spikes).\n"
-                "efficiency = (events_per_sec@4N / events_per_sec@N) / 4.\n\n"
-                "**Host ceiling (why N=2):** a pure-CPU multiprocessing baseline\n"
-                "(sha256 burn, no Spark) on this VM scales 2->8 workers at ~1.0\n"
-                "efficiency but only ~0.71-0.73 from 8->32 (SMT logical cores +\n"
-                "hypervisor steal time, observed up to 23% st in top). 0.8 from\n"
-                "8->32 is therefore unattainable on this silicon for ANY engine;\n"
-                "the 2->8 pair measures the engine rather than the host.\n\n"
-                "| run (UTC) | mode | events | ~page B | ev/s @N=2 | ev/s @4N=8 | efficiency | final rows |\n"
-                "|---|---|---|---|---|---|---|---|\n"
+                "timed region, best-of-k interleaved trials (host shows interference\n"
+                "spikes). efficiency = (events_per_sec@4N / events_per_sec@N) / 4.\n\n"
+                + header + "|---|---|---|---|---|---|---|---|\n" + row
             )
-        f.write(
-            f"| {stamp} | {mode} | {n_events} | {70 * body_repeat} | {tp_lo} | {tp_hi} | {eff:.3f} "
-            f"| {best[hi]['final_rows']} |\n"
-        )
+    else:
+        # splice the row into the results table (immediately after its last
+        # row), never blind-append — prose sections follow the table
+        with open(path) as f:
+            lines = f.readlines()
+        try:
+            i = lines.index(header)
+        except ValueError:
+            i = None
+        if i is None:
+            lines.append(row)
+        else:
+            j = i + 2  # skip header + separator
+            while j < len(lines) and lines[j].startswith("|"):
+                j += 1
+            lines.insert(j, row)
+        with open(path, "w") as f:
+            f.writelines(lines)
     print(f"recorded -> {path}")
 
 

@@ -13,12 +13,14 @@ def test_fetch_records_paged_and_transposed(spark):
     df = fetch_records(spark, pages, schema="id string, score double")
     assert df.count() == 3
 
-    # dict-of-dicts orientation (reference: pd.DataFrame(res).T)
+    # dict-of-dicts orientation (reference: pd.DataFrame(res).T) — the
+    # outer keys must survive into the id column, not die in the index
     doc = {"gwas-1": {"trait": "bmi"}, "gwas-2": {"trait": "height"}}
-    import pandas as pd
-    pdf = pd.DataFrame(doc).T.reset_index(names="gid")
-    df2 = spark.createDataFrame(pdf, "gid string, trait string")
+    df2 = fetch_records(spark, [doc], schema="gid string, trait string",
+                        transpose=True, transpose_id_col="gid")
     assert {r["gid"] for r in df2.collect()} == {"gwas-1", "gwas-2"}
+    assert dict(df2.collect()[0].asDict()) in (
+        {"gid": "gwas-1", "trait": "bmi"}, {"gid": "gwas-2", "trait": "height"})
 
 
 def test_fetch_partitioned_fanout(spark):

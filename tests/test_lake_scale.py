@@ -135,6 +135,26 @@ def test_incremental_compaction_keeps_untouched_files(spark, tmp_path, events):
             assert m["files"][b] == fl  # carried by reference — zero I/O
 
 
+def test_steady_state_broadcast_resolution(spark, tmp_path, events, oracle_state):
+    """Steady-state tailing shape: large COW base + one small delta batch.
+    Resolution must take the winner-broadcast path (deltas << base) and
+    produce the exact LWW state."""
+    path = str(tmp_path / "steady")
+    first = events.filter(F.col("event_seq") < N_EVENTS - 100)
+    rest = events.filter(F.col("event_seq") >= N_EVENTS - 100)
+    replay(spark, path, first, n_batches=1, n_buckets=8, mode="cow")
+    table = LakeTable(spark, path)
+    apply_batch(table, rest, batch_id="tail:000000000000", mode="mor")
+    m = table.manifest()
+    n_delta = sum(
+        lake_mod._parquet_num_rows(os.path.join(table.path, f))
+        for fl in m["deltas"].values() for f in fl
+    )
+    # broadcast path is the one exercised (under the overflow threshold)
+    assert 0 < n_delta <= lake_mod.RESOLVE_BROADCAST_MAX_DELTA_ROWS
+    _assert_equal(_state(spark, path), oracle_state)
+
+
 def test_ledger_is_bounded_and_resumable(spark, tmp_path, events):
     path = str(tmp_path / "ledger")
     replay(spark, path, events, n_batches=30, n_buckets=4, mode="mor")

@@ -111,6 +111,81 @@ def test_simhash_near_dup_pairs(spark):
     assert (0, 2) not in got
 
 
+def test_simhash_portable_matches_reference_impl(spark):
+    """The md5-high-bit portable fingerprint must equal a direct python
+    recomputation (the same property the q41 DuckDB oracle relies on)."""
+    import hashlib
+
+    from epigraphdb_graph_spark.operators.dedup import simhash_portable
+
+    rows = [(0, "alpha beta beta gamma"), (1, "delta alpha alpha")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = simhash_portable(df, width=16).toPandas().set_index("_id")["simhash"]
+
+    def py_simhash(text, width=16):
+        from collections import Counter
+
+        w = Counter(text.split())
+        fp = 0
+        for i in range(width):
+            s = sum((cnt if hashlib.md5(t.encode()).hexdigest()[i] in "89abcdef"
+                     else -cnt) for t, cnt in w.items())
+            fp |= (1 << i) if s > 0 else 0
+        return fp
+
+    for _id, text in rows:
+        assert int(got[_id]) == py_simhash(text)
+
+
+def test_jaccard_hot_token_cap_bounded_and_exact(spark):
+    """Stopword-heavy corpus: with max_token_df set, (a) candidate
+    generation never joins on the hot token — per-token pair fan-out is
+    bounded by the cap — and (b) Jaccard values for surviving pairs are
+    EXACT over the full token sets (hot tokens included)."""
+    # 40 docs all sharing the stopword 'the'; docs 0/1 share rare tokens
+    rows = [(0, "the quick brown fox"), (1, "the quick brown wolf")] + [
+        (i, f"the unique{i}a unique{i}b unique{i}c") for i in range(2, 40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = jaccard_pairs(df, min_jaccard=0.5, max_token_df=10).toPandas()
+    # only (0,1) shares a rare token; all 40 docs share 'the' but no pair
+    # is generated from it (uncapped would consider all 780 pairs)
+    assert len(capped) == 1
+    row = capped.iloc[0]
+    assert (row["id_a"], row["id_b"]) == (0, 1)
+    # exact value includes the hot token: |A∩B|=3 ('the quick brown'),
+    # |A∪B|=5 -> 0.6 — NOT the rare-only 2/4
+    assert math.isclose(row["jaccard"], 3 / 5)
+    # uncapped reference agrees on the overlapping pair set ∩ rare-sharing
+    uncapped = jaccard_pairs(df, min_jaccard=0.5).toPandas()
+    assert math.isclose(
+        uncapped.set_index(["id_a", "id_b"]).loc[(0, 1), "jaccard"], 3 / 5)
+
+
+def test_minhash_bucket_cap_star_degradation(spark):
+    """A pathological exact-dup cluster (k identical docs) must emit O(k)
+    star pairs, not O(k²), while ordinary near-dup candidates from
+    small buckets are unaffected."""
+    k = 2000
+    dup_text = " ".join(f"w{i}" for i in range(50))
+    near = " ".join(f"w{i}" for i in range(2, 52))
+    rows = [(i, dup_text) for i in range(k)] + [
+        (k, near), (k + 1, " ".join(f"z{i}" for i in range(50)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_candidate_pairs(
+        df, n_hashes=32, n_bands=8, bucket_cap=64).toPandas()
+    # star: every dup links to representative 0 -> exactly k-1 dup pairs
+    dup_pairs = pairs[(pairs["id_a"] < k) & (pairs["id_b"] < k)]
+    assert len(dup_pairs) == k - 1
+    assert set(dup_pairs["id_a"]) == {0}
+    # connectivity preserved: all k dup docs form one component via 0
+    # and the distinct near-dup is still found against some cluster member
+    near_pairs = pairs[(pairs["id_b"] == k) | (pairs["id_a"] == k)]
+    assert len(near_pairs) > 0
+    # the unrelated doc never appears
+    assert not ((pairs["id_a"] == k + 1) | (pairs["id_b"] == k + 1)).any()
+
+
 # -------------------------------------------------------------- similarity
 
 @pytest.fixture(scope="module")
