@@ -121,6 +121,26 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_genlog(args) -> int:
+    """Materialize a synthetic change log as parquet (the binlog stand-in
+    replay --log-dir consumes). Range-partitioned on event_seq so replay's
+    contiguous event_seq batch slices prune whole files at scan time, and
+    the winner-filter's column-pruned pass reads 3 columns, not pages."""
+    from .sources.events import generate_change_events
+
+    spark = _spark(args)
+    ev = generate_change_events(
+        spark, args.events, seed=args.seed, n_domains=args.domains,
+        pages_per_domain=args.pages_per_domain, body_repeat=args.body_repeat,
+    )
+    n_parts = args.partitions or (4 * spark.sparkContext.defaultParallelism)
+    ev.repartitionByRange(n_parts, "event_seq").write.mode(
+        "overwrite").parquet(args.out)
+    print(json.dumps({"out": args.out, "events": args.events,
+                      "partitions": n_parts}))
+    return 0
+
+
 def cmd_expire(args) -> int:
     from .plans.lake import LakeTable
 
@@ -194,6 +214,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--full", action="store_true")
     _add_common(p)
     p.set_defaults(fn=cmd_compact)
+
+    p = sub.add_parser("gen-log", help="materialize a synthetic parquet change log")
+    p.add_argument("--out", required=True)
+    p.add_argument("--events", type=int, default=100_000)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--domains", type=int, default=200)
+    p.add_argument("--pages-per-domain", type=int, default=256)
+    p.add_argument("--body-repeat", type=int, default=1)
+    p.add_argument("--partitions", type=int, default=None)
+    _add_common(p)
+    p.set_defaults(fn=cmd_genlog)
 
     p = sub.add_parser("expire", help="expire old snapshots + vacuum unreferenced files")
     p.add_argument("--table", required=True)

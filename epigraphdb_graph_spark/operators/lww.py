@@ -46,6 +46,48 @@ def lww_dedup_agg(
     return df.groupBy(*keys).agg(winner).select("w.*")
 
 
+def lww_winner_filter(
+    df: DataFrame,
+    key: str | list[str] = "url",
+    ts_col: str = "warc_ts",
+    seq_col: str = "event_seq",
+) -> DataFrame:
+    """Winner FILTER without moving row payloads: compute per-key max
+    (ts, seq) from a column-pruned pass (the shuffle carries only
+    key + a packed ordering decimal, map-side combined), broadcast the
+    tiny winners relation, and join-filter the raw rows map-side.
+
+    This is the MOR fast path's answer to superseded-event waste: payload
+    columns (KB-scale html) are never shuffled, and downstream per-row
+    work (html→text extraction!) runs only on winners — at a 10:1
+    supersede ratio that is ~90% less UDF CPU and ~90% smaller delta
+    files/compactions, while keeping the O(batch), join-free commit.
+    Rows tied at the winning (ts, seq) (re-delivered duplicates) are all
+    kept — read-resolution collapses them (plans/lake.py).
+
+    The broadcast is O(distinct keys in the batch) — bounded by the
+    micro-batch size the caller controls (maxFilesPerTrigger / n_batches),
+    NOT by table size. For huge ad-hoc batches use lww_dedup_agg instead.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    # same packing as plans/lake.py resolution: lexicographic (ts, seq)
+    # preserved for |seq| < 10^18; decimal keeps the agg a HASH agg
+    ord_expr = (
+        F.unix_micros(F.col(ts_col)).cast("decimal(38,0)")
+        * F.lit(1_000_000_000_000_000_000)
+        + F.col(seq_col)
+    )
+    winners = df.select(*keys, ord_expr.alias("_ord")).groupBy(*keys).agg(
+        F.max("_ord").alias("_word"))
+    for i, k in enumerate(keys):
+        winners = winners.withColumnRenamed(k, f"_wk{i}")
+    cond = ord_expr == F.col("_word")
+    for i, k in enumerate(keys):
+        cond = cond & (F.col(k) == F.col(f"_wk{i}"))
+    return df.join(F.broadcast(winners), cond).drop(
+        "_word", *[f"_wk{i}" for i in range(len(keys))])
+
+
 def lww_dedup_window(
     df: DataFrame,
     key: str | list[str] = "url",

@@ -365,38 +365,54 @@ class LakeTable:
         # O(table keys) — base rows whose key never appears in a delta are
         # already their own winners and skip resolution entirely. The
         # second agg ALSO counts rows tied at the winning _ord (max_by of
-        # the per-(key,_ord) count), so tie collapse below touches only
-        # keys that truly received re-delivered duplicates.
-        pruned = (
-            base_hot.select(key, "_ts", "_seq")
-            .unionByName(delta_df.select(key, "_ts", "_seq"))
-            .withColumn("_ord", ord_expr)
-        )
-        dkeys = delta_df.select(F.col(key).alias("_dk")).distinct()
+        # the per-(key,_ord) count) — see the tie probe below.
+        pruned = delta_df.select(key, "_ts", "_seq")
+        has_base = any(files.get(str(b)) for b in hot)
+        if has_base:
+            # base rows only matter for keys a delta touches; semi-join
+            # keeps the winner relation O(delta keys) on a huge table.
+            # (With no base files — young pure-MOR table — deltas ARE the
+            # table; skip the extra distinct+semi-join entirely.)
+            dkeys = delta_df.select(F.col(key).alias("_dk")).distinct()
+            base_pruned = base_hot.select(key, "_ts", "_seq").join(
+                F.broadcast(dkeys), F.col(key) == F.col("_dk"), "left_semi")
+            pruned = pruned.unionByName(base_pruned)
         winners = (
-            pruned.join(F.broadcast(dkeys), F.col(key) == F.col("_dk"), "left_semi")
+            pruned.withColumn("_ord", ord_expr)
             .groupBy(key, "_ord")
             .agg(F.count("*").alias("_cnt"))
             .groupBy(F.col(key).alias("_wk"))
             .agg(F.max("_ord").alias("_word"),
                  F.max_by("_cnt", "_ord").alias("_wties"))
+            # materialize once (small: O(delta keys) x 3 cols) — the tie
+            # probe and the broadcast below both read it without
+            # recomputing the pruned scan + aggs
+            .localCheckpoint(eager=True)
         )
-        j = union_hot.join(F.broadcast(winners), F.col(key) == F.col("_wk"), "left")
+        # Tie probe: one tiny job over the checkpointed winners. Ties
+        # (equal (_ts,_seq) = re-delivered copies of the same event) exist
+        # only under at-least-once re-delivery — almost never. The common
+        # case then resolves in a SINGLE pass over the full rows
+        # (broadcast join + filter, no second branch, no dedup shuffle).
+        has_ties = winners.filter(F.col("_wties") > 1).limit(1).count() > 0
+        if has_ties:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(key).orderBy(F.desc("_ord"))
+            resolved_hot = (
+                union_hot.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "_ord")
+            )
+            return base_cold.unionByName(resolved_hot)
+        j = union_hot.join(F.broadcast(winners.drop("_wties")),
+                           F.col(key) == F.col("_wk"), "left")
         # key untouched by any delta -> no winner row -> passes through;
-        # unique winners stream through map-side with zero extra exchange
-        clean = j.filter(
-            F.col("_wk").isNull()
-            | ((F.col("_ord") == F.col("_word")) & (F.col("_wties") == 1))
-        ).drop("_wk", "_word", "_wties", "_ord")
-        # Ties (equal (_ts,_seq)) are re-delivered copies of the same
-        # event: collapse to exactly one row per key. Only the tied keys
-        # (normally zero) are shuffled here — never the bulk.
-        tied = j.filter(
-            (F.col("_ord") == F.col("_word")) & (F.col("_wties") > 1)
-        ).drop("_wk", "_word", "_wties", "_ord")
-        return base_cold.unionByName(clean).unionByName(
-            tied.dropDuplicates([key])
-        )
+        # winners stream through map-side with zero extra exchange
+        resolved_hot = j.filter(
+            F.col("_wk").isNull() | (F.col("_ord") == F.col("_word"))
+        ).drop("_wk", "_word", "_ord")
+        return base_cold.unionByName(resolved_hot)
 
     def read(self, version: int | None = None, *, with_system_cols: bool = False) -> DataFrame:
         """Current (or time-travel) state. Tombstones filtered out; pending
@@ -699,8 +715,10 @@ class LakeTable:
         is deferred to _read_resolved/compact (Hudi/Iceberg-v2 MOR analog).
         ``src`` arrives bucketed and schema-conformed, NOT persisted (side
         passes below are column-pruned recomputes — no html, no UDF), and
-        may hold multiple rows per key (the fast path skips in-batch
-        dedup; resolution orders by (_ts,_seq) regardless)."""
+        may hold multiple rows per key (callers use the broadcast winner
+        FILTER, operators/lww.py.lww_winner_filter, which can keep
+        re-delivered ties; resolution orders by (_ts,_seq) and collapses
+        ties regardless)."""
         extra = dict(extra_metrics or {})
         version = m["version"] + 1
         out = (

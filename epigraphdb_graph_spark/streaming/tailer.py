@@ -94,8 +94,16 @@ def tail_change_log(
 
             events, counts = quarantine(batch_df, dead_letter_dir)
             extra = {"quarantined": counts}
+        if mode == "cow":
+            dedup: bool | str = True
+        else:
+            # adaptive winner strategy per micro-batch (batch_df is already
+            # persisted, so the payload-size sample is ~free)
+            from ..replay import choose_mor_dedup
+
+            dedup = choose_mor_dedup(events)
         table.merge(
-            prepare_batch(events, dedup=(mode == "cow")),
+            prepare_batch(events, dedup=dedup),
             batch_id=f"stream-{ns}:{batch_id:012d}",
             watermark_seq=wm if wm is not None else -1,
             mode=mode,

@@ -155,6 +155,45 @@ def test_steady_state_broadcast_resolution(spark, tmp_path, events, oracle_state
     _assert_equal(_state(spark, path), oracle_state)
 
 
+def test_lww_winner_filter_semantics(spark):
+    """Broadcast winner filter: keeps exactly the max-(ts,seq) row per key
+    — plus all copies of a tied winner (re-delivery; resolution dedups)."""
+    import pandas as pd
+
+    from epigraphdb_graph_spark.operators.lww import (
+        lww_dedup_agg, lww_winner_filter)
+
+    rows = [
+        (1, "a", pd.Timestamp("2024-01-01"), "v1"),
+        (2, "a", pd.Timestamp("2024-01-02"), "v2"),   # winner for a
+        (3, "b", pd.Timestamp("2024-01-01"), "w1"),   # winner for b
+        (1, "c", pd.Timestamp("2024-01-03"), "x1"),   # winner for c (dup'd)
+        (1, "c", pd.Timestamp("2024-01-03"), "x1"),   # re-delivered tie
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_seq", "url", "warc_ts", "body"]))
+    got = lww_winner_filter(df).toPandas().sort_values(
+        ["url", "event_seq"]).reset_index(drop=True)
+    assert list(got["url"]) == ["a", "b", "c", "c"]  # tie kept twice
+    assert list(got["body"]) == ["v2", "w1", "x1", "x1"]
+    # agrees with the agg form on the deduped key set
+    agg = lww_dedup_agg(df).toPandas()
+    assert set(agg["url"]) == {"a", "b", "c"}
+
+
+def test_choose_mor_dedup_by_payload_size(spark):
+    """Adaptive MOR winner strategy: heavy pages -> broadcast filter
+    (skip superseded extraction), light pages -> append-all (resolution
+    dedups at read). Pure cost choice; both paths state-equal."""
+    from epigraphdb_graph_spark.replay import choose_mor_dedup
+    from epigraphdb_graph_spark.sources.events import generate_change_events
+
+    light = generate_change_events(spark, 500, seed=5, body_repeat=1)
+    heavy = generate_change_events(spark, 500, seed=5, body_repeat=100)
+    assert choose_mor_dedup(light) is False
+    assert choose_mor_dedup(heavy) == "filter"
+
+
 def test_ledger_is_bounded_and_resumable(spark, tmp_path, events):
     path = str(tmp_path / "ledger")
     replay(spark, path, events, n_batches=30, n_buckets=4, mode="mor")

@@ -193,6 +193,25 @@ def embs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
 
 
+def test_int_signature_matches_python_twin(spark, embs):
+    """The integer-exact LSH signature (JVM higher-order fns) must agree
+    bit-for-bit with its driver-side python twin — the property the q39
+    cross-engine oracle rests on."""
+    from epigraphdb_graph_spark.operators.similarity import (
+        int_signature, int_signature_py, lcg_planes_int)
+
+    planes = lcg_planes_int(64, 8)
+    got = (
+        embs.limit(50)
+        .select("vec_id", int_signature(F.col("embedding"), planes).alias("sig"))
+        .toPandas().set_index("vec_id")["sig"]
+    )
+    raw = embs.limit(50).select("vec_id", "embedding").toPandas()
+    for _, r in raw.iterrows():
+        want = int_signature_py([float(x) for x in r["embedding"]], planes)
+        assert int(got[r["vec_id"]]) == want
+
+
 def test_cosine_topk_matches_bruteforce(spark, embs):
     pdf = embs.toPandas()
     q = list(pdf.loc[pdf["vec_id"] == 0, "embedding"].iloc[0])
