@@ -1300,6 +1300,127 @@ def q48(spark, sf):
     return j.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
 
 
+# -------------------------------------- round-2: former "partial" items
+# (P6/P10 string predicates, F7 dict lookup, F10 math fns, O3 sample, J6)
+
+
+@_q("q49_prefix_substring", """
+SELECT p_partkey, p_name, p_type,
+       CASE WHEN p_name LIKE 'small%' THEN 'prefix' ELSE 'contains' END AS matched_by
+FROM part
+WHERE p_name LIKE 'small%' OR p_name LIKE '%widget%'
+""")
+def q49(spark, sf):
+    """String-prefix + substring predicates (SURVEY P6/P10; ref startswith
+    filters nodes/gene/biomart.py-style and str.contains selections).
+    Both forms compile to Catalyst StartsWith/Contains and push into the
+    parquet scan as string-range / substring filters."""
+    p = _t(spark, sf, "part")
+    prefix = F.col("p_name").startswith("small")
+    sub = F.col("p_name").contains("widget")
+    return p.filter(prefix | sub).select(
+        "p_partkey", "p_name", "p_type",
+        F.when(prefix, "prefix").otherwise("contains").alias("matched_by"))
+
+
+@_q("q50_dict_lookup", """
+SELECT r_regionkey, r_name,
+       CASE r_name WHEN 'AFRICA' THEN 'AF' WHEN 'AMERICA' THEN 'AM'
+                   WHEN 'ASIA' THEN 'AS' WHEN 'EUROPE' THEN 'EU'
+                   ELSE 'XX' END AS region_code
+FROM region
+""")
+def q50(spark, sf):
+    """Dict-literal lookup column (SURVEY F7; ref .map(dict) transforms,
+    e.g. chromosome-name normalization): a small in-plan `create_map`
+    literal — evaluated inside codegen, no join, no broadcast, the exact
+    Spark analog of pandas Series.map."""
+    mapping = {"AFRICA": "AF", "AMERICA": "AM", "ASIA": "AS", "EUROPE": "EU"}
+    kv = []
+    for k, v in mapping.items():
+        kv += [F.lit(k), F.lit(v)]
+    r = _t(spark, sf, "region")
+    return r.select(
+        "r_regionkey", "r_name",
+        F.coalesce(F.create_map(*kv)[F.col("r_name")], F.lit("XX"))
+        .alias("region_code"))
+
+
+@_q("q51_math_funcs", """
+SELECT l_orderkey, l_linenumber,
+       CAST(floor(log10(l_extendedprice) * 1000) AS BIGINT) AS log10_milli,
+       CAST(floor(ln(l_extendedprice + 1) * 1000) AS BIGINT) AS ln_milli,
+       CAST(floor(sqrt(l_quantity) * 1000) AS BIGINT) AS sqrt_milli,
+       CAST(floor(power(l_discount, 2) * 1000000) AS BIGINT) AS disc_sq_micro
+FROM lineitem WHERE l_orderkey < 100
+""")
+def q51(spark, sf):
+    """Math function family (SURVEY F10; ref -log10(pval) transforms in
+    the GWAS scripts): log10/ln/sqrt/pow as JVM intrinsics, milli-
+    quantized for cross-engine float exactness."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") < 100)
+    m = lambda c, s: F.floor(c * s).cast("bigint")  # noqa: E731
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        m(F.log10("l_extendedprice"), 1000).alias("log10_milli"),
+        m(F.log(F.col("l_extendedprice") + 1), 1000).alias("ln_milli"),
+        m(F.sqrt("l_quantity"), 1000).alias("sqrt_milli"),
+        m(F.pow("l_discount", 2), 1000000).alias("disc_sq_micro"))
+
+
+@_q("q52_deterministic_sample", """
+SELECT c_custkey, c_nationkey FROM customer
+WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) IN ('0', '1')
+""")
+def q52(spark, sf):
+    """Deterministic ~12.5% sample (SURVEY O3): hash-mod on the key via a
+    portable hash, so the sample is reproducible across engines, runs,
+    and partitionings — unlike rand()-based sampling, this is stable
+    under retries/re-partitioning (the property a 100-TB pipeline
+    actually needs from its sampling stage) and SQL-verifiable."""
+    c = _t(spark, sf, "customer")
+    return c.filter(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1)
+        .isin("0", "1")
+    ).select("c_custkey", "c_nationkey")
+
+
+@_q("q53_alt_key_join_union", """
+WITH dirty AS (
+  SELECT CASE WHEN n_nationkey % 2 = 0 THEN n_nationkey END AS maybe_key,
+         upper(n_name) AS label
+  FROM nation
+),
+by_id AS (
+  SELECT n.n_nationkey AS nationkey, d.label, 'id' AS via
+  FROM dirty d JOIN nation n ON d.maybe_key = n.n_nationkey
+),
+by_name AS (
+  SELECT n.n_nationkey AS nationkey, d.label, 'name' AS via
+  FROM dirty d JOIN nation n ON lower(d.label) = lower(n.n_name)
+  WHERE d.maybe_key IS NULL
+)
+SELECT * FROM by_id UNION SELECT * FROM by_name
+""")
+def q53(spark, sf):
+    """Alternate-key join + union (SURVEY J6; ref mondo consolidation:
+    rows carrying a curie id join by id, the rest fall back to a
+    case-insensitive name join, results unioned). Both branches are
+    broadcast joins against the small reference side."""
+    n = _t(spark, sf, "nation")
+    dirty = n.select(
+        F.when(F.col("n_nationkey") % 2 == 0, F.col("n_nationkey"))
+        .alias("maybe_key"),
+        F.upper("n_name").alias("label"))
+    by_id = dirty.join(
+        F.broadcast(n), dirty["maybe_key"] == n["n_nationkey"]).select(
+        F.col("n_nationkey").alias("nationkey"), "label", F.lit("id").alias("via"))
+    by_name = dirty.filter(F.col("maybe_key").isNull()).join(
+        F.broadcast(n), F.lower(dirty["label"]) == F.lower(n["n_name"])).select(
+        F.col("n_nationkey").alias("nationkey"), "label", F.lit("name").alias("via"))
+    return by_id.unionByName(by_name).distinct()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 
