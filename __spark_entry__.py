@@ -1028,9 +1028,16 @@ def q28(spark, sf):
     from epigraphdb_graph_spark.operators.dedup import minhash_candidate_pairs
 
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
-    cand = minhash_candidate_pairs(d, n_hashes=32, n_bands=16)
-    words = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("w")).distinct()
+    # ONE tokenization pass shared by signature generation AND the exact
+    # verify (localCheckpoint) — without this the corpus is re-scanned and
+    # re-exploded by every downstream consumer (plan-audit finding)
+    shared = (
+        d.select(F.col("doc_id").alias("_id"),
+                 F.explode(F.split("text", " ")).alias("_sh"))
+        .distinct().localCheckpoint(eager=True)
+    )
+    cand = minhash_candidate_pairs(d, n_hashes=32, n_bands=16, shingles=shared)
+    words = shared.select(F.col("_id").alias("doc_id"), F.col("_sh").alias("w"))
     sizes = words.groupBy("doc_id").agg(F.count("*").alias("n"))
     # exact intersection restricted to candidates: fan each pair over
     # id_a's tokens, semi-join against id_b's tokens (same shape as

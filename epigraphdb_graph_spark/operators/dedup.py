@@ -57,11 +57,14 @@ def minhash_signatures(
     text_col: str = "text",
     n_hashes: int = 64,
     shingle_n: int = 1,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(_id, sig: array<long>[n_hashes]) — sig[i] = min over shingles of
     xxhash64(shingle, i). One explode + one hash aggregation (map-side
-    combinable; skew-immune)."""
-    sh = _shingles(df, id_col, text_col, shingle_n)
+    combinable; skew-immune). Pass ``shingles`` (a precomputed/
+    checkpointed ``(_id, _sh)`` frame) to share one tokenization pass
+    across pipeline stages instead of re-exploding the corpus."""
+    sh = shingles if shingles is not None else _shingles(df, id_col, text_col, shingle_n)
     mins = [
         F.min(F.xxhash64(F.col("_sh"), F.lit(i))).alias(f"_m{i}")
         for i in range(n_hashes)
@@ -81,6 +84,7 @@ def minhash_candidate_pairs(
     n_bands: int = 16,
     shingle_n: int = 1,
     bucket_cap: int | None = 1024,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: split each signature into ``n_bands`` bands of
     ``n_hashes/n_bands`` rows; docs sharing any band hash become a
@@ -98,7 +102,8 @@ def minhash_candidate_pairs(
     candidates for ordinary distinct near-dups are unaffected."""
     rows_per_band = n_hashes // n_bands
     sigs = minhash_signatures(
-        df, id_col=id_col, text_col=text_col, n_hashes=n_hashes, shingle_n=shingle_n
+        df, id_col=id_col, text_col=text_col, n_hashes=n_hashes,
+        shingle_n=shingle_n, shingles=shingles,
     )
     bands = sigs.select(
         "_id",
@@ -282,6 +287,7 @@ def jaccard_pairs(
     min_jaccard: float = 0.5,
     shingle_n: int = 1,
     max_token_df: int | None = None,
+    share_scan: bool = True,
 ) -> DataFrame:
     """Exact word-set Jaccard >= threshold via token equi-join (shuffle on
     token). Used standalone at moderate scale or as the verify stage after
@@ -299,8 +305,17 @@ def jaccard_pairs(
     near-dup contract (a pair overlapping *only* in ubiquitous stopwords is
     not a near-dup worth finding). Choosing cap >= the corpus doc count
     provably disables the filter (DF can never exceed it).
+
+    ``share_scan=True`` (default) materializes the tokenized ``(_id,
+    token)`` relation once (eager localCheckpoint — triggers one job at
+    call time) and shares it across the 4-8 downstream consumers; without
+    it every consumer re-scans and re-tokenizes the corpus. At extreme
+    scale prefer writing the token relation to a lake table instead of
+    executor-local storage — same idea, durable medium.
     """
     words = _shingles(df, id_col, text_col, shingle_n)
+    if share_scan:
+        words = words.localCheckpoint(eager=True)
     sizes = words.groupBy("_id").agg(F.count("*").alias("n"))
     if max_token_df is None:
         a, b = words.alias("a"), words.alias("b")
