@@ -212,6 +212,38 @@ def test_ledger_is_bounded_and_resumable(spark, tmp_path, events):
     assert table.manifest()["version"] == m["version"]
 
 
+def test_crashed_commit_is_invisible_and_recoverable(spark, tmp_path, events,
+                                                     oracle_state):
+    """Atomic commit property: a writer that dies AFTER writing the new
+    manifest JSON but BEFORE the VERSION pointer swap leaves the table
+    exactly at the old snapshot; the next writer overwrites the orphan
+    manifest and commits normally."""
+    path = str(tmp_path / "crash")
+    half = events.filter(F.col("event_seq") < N_EVENTS // 2)
+    rest = events.filter(F.col("event_seq") >= N_EVENTS // 2)
+    replay(spark, path, half, n_batches=1, n_buckets=4)
+    table = LakeTable(spark, path)
+    v = table.current_version()
+    rows_before = table.read().count()
+
+    # simulate the torn commit: orphan manifest for v+1, pointer untouched
+    orphan = dict(table.manifest(), version=v + 1, parent=v,
+                  metrics={"op": "merge", "batch_id": "crashed:000000000099"})
+    with open(os.path.join(table._meta_dir, f"v{v + 1:08d}.json"), "w") as f:
+        json.dump(orphan, f)
+    assert table.current_version() == v          # pointer rules
+    assert table.read().count() == rows_before   # state unchanged
+    # the crashed batch is NOT in the ledger (ledger lives in committed
+    # manifests only) — re-applying it must not be skipped
+    from epigraphdb_graph_spark.plans.lake import _batch_seen
+    assert not _batch_seen(table.manifest(), "crashed:000000000099")
+
+    # recovery: next writer just commits; orphan v+1 manifest is replaced
+    replay(spark, path, rest, n_batches=1, n_buckets=4)
+    assert table.current_version() == v + 1
+    _assert_equal(_state(spark, path), oracle_state)
+
+
 def test_expire_snapshots_bounds_metadata(spark, tmp_path, events, oracle_state):
     path = str(tmp_path / "expire")
     replay(spark, path, events, n_batches=6, n_buckets=4, mode="cow")
