@@ -57,3 +57,24 @@ def test_cli_replay_resume(tmp_path):
     r2 = _last_json(_run(args))  # identical rerun -> all batches noop
     assert all(b["noop"] for b in r2["batches"])
     assert r2["final_rows"] == r1["final_rows"]
+
+
+@pytest.mark.slow
+def test_cli_genlog_replay_expire_roundtrip(tmp_path):
+    """gen-log -> replay --log-dir -> expire: the production-shaped flow
+    (tail an existing log, then bound metadata)."""
+    log = str(tmp_path / "log")
+    table = str(tmp_path / "pages")
+    g = _last_json(_run(["gen-log", "--out", log, "--events", "3000",
+                         "--partitions", "8", "--master", "local[4]"]))
+    assert g["events"] == 3000
+    r = _last_json(_run(["replay", "--table", table, "--log-dir", log,
+                         "--batches", "3", "--mode", "mor",
+                         "--buckets", "4", "--master", "local[4]"]))
+    assert r["events"] == 3000 and r["final_rows"] > 0
+    _run(["compact", "--table", table, "--master", "local[4]"])
+    e = _last_json(_run(["expire", "--table", table, "--keep-last", "2",
+                         "--master", "local[4]"]))
+    assert e["expired_manifests"] >= 1
+    s = _last_json(_run(["show", "--table", table, "--master", "local[4]"]))
+    assert s["rows"] == r["final_rows"]

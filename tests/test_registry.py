@@ -130,6 +130,37 @@ def test_ingest_from_config_end_to_end(spark, tmp_path):
     assert set(row2["_source"]) == {"crawl-a", "crawl-b"}
 
 
+def test_config_driven_pipeline_into_lake(spark, tmp_path):
+    """Whole reference-style build from one YAML: read + conform +
+    consolidate via config, then land in the snapshot-versioned lake
+    (overwrite = first bulk load; later deltas go through merge)."""
+    import pandas as pd
+
+    from epigraphdb_graph_spark.plans.lake import LakeTable
+    from epigraphdb_graph_spark.registry import load_registry
+
+    (tmp_path / "crawl_a.csv").write_text(
+        "url,warc_ts,text,lang\n"
+        "https://a.example/1,2024-01-01T00:00:00,alpha,en\n"
+    )
+    pdf = pd.DataFrame({
+        "url": ["https://a.example/2"],
+        "warc_ts": pd.to_datetime(["2024-02-01"]),
+        "text": ["beta"], "lang": ["de"],
+    })
+    spark.createDataFrame(pdf).write.parquet(str(tmp_path / "crawl_b.parquet"))
+
+    reg = load_registry(DEMO)
+    consolidated = ingest_from_config(spark, DEMO, str(tmp_path)) \
+        .drop("_source", "_id")
+    contract = reg.contracts["pages"]
+    table = LakeTable.create(spark, str(tmp_path / "lake"),
+                             contract.schema, key=contract.key, n_buckets=4)
+    table.overwrite(consolidated)
+    got = table.read().select("url", "text").toPandas().sort_values("url")
+    assert list(got["text"]) == ["alpha", "beta"]
+
+
 def test_contract_violation_surfaces_through_config(spark, tmp_path):
     from epigraphdb_graph_spark.schema import ContractError
 

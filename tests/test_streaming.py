@@ -130,3 +130,33 @@ def test_tailer_restart_same_checkpoint_is_noop(spark, tmp_path, events):
     q2 = tail_change_log(spark, log_dir, table_path, ckpt, n_buckets=4)
     q2.awaitTermination(120)
     assert LakeTable(spark, table_path).current_version() == v1
+
+
+def test_tailer_heavy_pages_uses_winner_filter(spark, tmp_path):
+    """KB-scale pages push the adaptive MOR strategy onto the broadcast
+    winner-filter branch (superseded events never reach extraction or the
+    delta files); final state must still equal the oracle."""
+    ev = generate_change_events(
+        spark, 800, seed=13, n_domains=10, pages_per_domain=4,
+        body_repeat=100,
+    ).cache()
+    from epigraphdb_graph_spark.replay import choose_mor_dedup
+
+    assert choose_mor_dedup(ev) == "filter"  # the branch under test
+    log_dir, table_path, ckpt = (str(tmp_path / d) for d in ("log", "t", "c"))
+    ev.write.parquet(log_dir)
+    q = tail_change_log(spark, log_dir, table_path, ckpt, n_buckets=4,
+                        mode="mor")
+    q.awaitTermination(120)
+    table = LakeTable(spark, table_path)
+    _assert_equal(_read_state(spark, table_path), ev.toPandas())
+    # the filter really dropped superseded rows from the delta commit
+    from epigraphdb_graph_spark.plans.lake import _parquet_num_rows
+
+    m = table.manifest()
+    delta_rows = sum(
+        _parquet_num_rows(f"{table.path}/{f}")
+        for fl in m["deltas"].values() for f in fl)
+    n_keys = table.read().count()
+    assert delta_rows < 800  # fewer delta rows than raw events
+    assert delta_rows >= n_keys
