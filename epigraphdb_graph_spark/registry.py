@@ -37,6 +37,7 @@ runs).
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass, field
 
@@ -229,6 +230,39 @@ def load_registry(config: dict | str) -> Registry:
         raise RegistryError(
             "invalid registry config:\n  - " + "\n  - ".join(errors))
     return Registry(contracts=contracts, dataset_specs=specs)
+
+
+_DDL_TYPES = {
+    T.StringType(): "STRING", T.IntegerType(): "INT", T.LongType(): "BIGINT",
+    T.FloatType(): "FLOAT", T.DoubleType(): "DOUBLE",
+    T.BooleanType(): "BOOLEAN", T.TimestampType(): "TIMESTAMP",
+    T.DateType(): "DATE", T.BinaryType(): "BINARY",
+}
+
+
+def ddl_for(contract: TableContract, *, n_buckets: int = 32,
+            location: str | None = None) -> str:
+    """Spark-SQL DDL for a contract (SURVEY K3 — the analog of the
+    reference's constraint/index DDL synthesis from db_schema.yaml,
+    graph_build/create_master_import.py). The unique index becomes the
+    bucketing spec (hash-on-key clustering IS the engine's index: it
+    drives MERGE bucket pruning); NOT NULL marks the required columns.
+    Uniqueness itself is enforced structurally by MERGE and checked by
+    check_contract — Spark SQL has no UNIQUE constraint to declare."""
+    cols = ",\n  ".join(
+        f"`{f.name}` {_DDL_TYPES[f.dataType]}"
+        + ("" if f.nullable else " NOT NULL")
+        for f in contract.schema.fields
+    )
+    ddl = (f"CREATE TABLE IF NOT EXISTS `{contract.name}` (\n  {cols}\n)\n"
+           f"USING parquet\n")
+    if contract.key:
+        ddl += f"CLUSTERED BY (`{contract.key}`) INTO {n_buckets} BUCKETS\n"
+    if location:
+        ddl += f"LOCATION '{location}'\n"
+    comment = {"key": contract.key, "required": contract.required}
+    ddl += f"TBLPROPERTIES ('contract' = '{json.dumps(comment)}')"
+    return ddl
 
 
 def ingest_from_config(

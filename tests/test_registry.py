@@ -130,6 +130,26 @@ def test_ingest_from_config_end_to_end(spark, tmp_path):
     assert set(row2["_source"]) == {"crawl-a", "crawl-b"}
 
 
+def test_ddl_generation_and_executability(spark, tmp_path):
+    """K3: contract -> Spark-SQL DDL (bucketed-by-key = the index spec);
+    the generated statement must actually execute against a catalog."""
+    from epigraphdb_graph_spark.registry import ddl_for, load_registry
+
+    c = load_registry(DEMO).contracts["pages"]
+    ddl = ddl_for(c, n_buckets=8, location=str(tmp_path / "pages_tbl"))
+    assert "CLUSTERED BY (`url`) INTO 8 BUCKETS" in ddl
+    assert "`url` STRING NOT NULL" in ddl and "`text` STRING" in ddl
+    spark.sql("DROP TABLE IF EXISTS pages")
+    spark.sql(ddl)
+    try:
+        desc = {r["col_name"]: r["data_type"]
+                for r in spark.sql("DESCRIBE TABLE pages").collect()}
+        assert desc.get("url") == "string"
+        assert desc.get("warc_ts") == "timestamp"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pages")
+
+
 def test_config_driven_pipeline_into_lake(spark, tmp_path):
     """Whole reference-style build from one YAML: read + conform +
     consolidate via config, then land in the snapshot-versioned lake
