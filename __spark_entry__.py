@@ -1444,6 +1444,74 @@ def q53(spark, sf):
     return by_id.unionByName(by_name).distinct()
 
 
+@_q("q54_change_feed", """
+WITH k AS (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) AS half FROM events),
+s1 AS (
+  SELECT user_id, ts, event_id FROM (
+    SELECT user_id, ts, event_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE event_id < (SELECT half FROM k)) x
+  WHERE rn = 1 AND event_type <> 'error'
+),
+s2 AS (
+  SELECT user_id, ts, event_id FROM (
+    SELECT user_id, ts, event_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) x
+  WHERE rn = 1 AND event_type <> 'error'
+)
+SELECT change_type, url FROM (
+  SELECT CASE WHEN s1.user_id IS NULL THEN 'insert'
+              WHEN s2.user_id IS NULL THEN 'delete'
+              WHEN s1.ts <> s2.ts OR s1.event_id <> s2.event_id THEN 'update'
+         END AS change_type,
+         concat('https://site.example.org/u/',
+                COALESCE(s2.user_id, s1.user_id)) AS url
+  FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id) d
+WHERE change_type IS NOT NULL
+""")
+def q54(spark, sf):
+    """Change-data-feed OUT of the lake (Iceberg changelog / Delta CDF
+    analog, plans/lake.py.changes): replay the first half of the event
+    log (snapshot v1) then the rest (v2) through the engine and emit the
+    bucket-pruned per-key net diff between the two committed snapshots.
+    The oracle recomputes both LWW states in SQL and diffs them — every
+    insert/update/delete the feed reports must match the state diff
+    exactly (deletes = keys tombstoned between the versions)."""
+    import tempfile
+
+    from epigraphdb_graph_spark.plans.lake import LakeTable
+    from epigraphdb_graph_spark.replay import apply_batch
+
+    ev = _t(spark, sf, "events").select(
+        F.col("event_id").alias("event_seq"),
+        F.when(F.col("event_type") == "error", "delete")
+        .otherwise("update").alias("op"),
+        F.concat(F.lit("https://site.example.org/u/"),
+                 F.col("user_id")).alias("url"),
+        F.col("ts").cast("timestamp").alias("warc_ts"),
+        F.when(F.col("event_type") == "error", F.lit(None).cast("binary"))
+        .otherwise(F.encode(F.concat(F.lit("<p>"), F.col("props"),
+                                     F.lit("</p>")), "UTF-8")).alias("html"),
+    )
+    half = ev.agg(F.max("event_seq")).first()[0] // 2
+    from pyspark.sql import types as T
+
+    from epigraphdb_graph_spark.schema import PAGES_SCHEMA
+
+    schema = T.StructType([f for f in PAGES_SCHEMA.fields if f.name != "lang"])
+    path = tempfile.mkdtemp(prefix="q54_lake_") + "/t"
+    table = LakeTable.create(spark, path, schema, key="url", n_buckets=8)
+    apply_batch(table, ev.filter(F.col("event_seq") < half), batch_id="cdc:0")
+    v1 = table.current_version()
+    apply_batch(table, ev.filter(F.col("event_seq") >= half), batch_id="cdc:1")
+    v2 = table.current_version()
+    return table.changes(v1, v2).select(
+        F.col("_change_type").alias("change_type"), "url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -791,6 +791,72 @@ class LakeTable:
             stale_skipped=0, touched_buckets=len(new_files),
         )
 
+    # ---------------------------------------------------------- change feed
+    def changes(self, from_version: int,
+                to_version: int | None = None) -> DataFrame:
+        """Change-data-feed OUT of the lake (Iceberg changelog / Delta CDF
+        analog): net per-key changes between two committed snapshots, for
+        downstream incremental consumers.
+
+        Returns ``_change_type`` (insert | update | delete) + the row
+        image (new image for insert/update, last visible image for
+        delete) with its ``_seq``/``_ts``.
+
+        Scale shape — **bucket-pruned diff**: data files are immutable and
+        manifests record per-bucket file lists, so any bucket whose base
+        AND delta file lists are string-identical across the two
+        manifests cannot contain a change and is skipped without reading
+        a byte. A steady tailer touching 3 of 4096 buckets per commit
+        yields a diff that reads ~3 buckets, not the table. (A
+        rebucketing compaction between the versions invalidates the
+        bucket correspondence — the diff then degrades to a full
+        key-compare, still correct.) Net semantics: a key updated then
+        reverted to a byte-identical (_ts,_seq) shows no change; a key
+        whose winner changed shows exactly one row."""
+        m_to = self.manifest(to_version)
+        m_from = self.manifest(from_version)
+        fschema = self._file_schema(m_to)
+        if m_from["n_buckets"] == m_to["n_buckets"]:
+            all_b = set(m_from.get("files", {})) | set(m_from.get("deltas", {})) \
+                | set(m_to.get("files", {})) | set(m_to.get("deltas", {}))
+            changed = sorted(
+                (b for b in all_b
+                 if m_from.get("files", {}).get(b, []) != m_to.get("files", {}).get(b, [])
+                 or m_from.get("deltas", {}).get(b, []) != m_to.get("deltas", {}).get(b, [])),
+                key=int)
+        else:
+            changed = None  # rebucketed: no bucket correspondence
+        key = m_to["key"]
+        old = (self._read_resolved(m_from, buckets=changed, file_schema=fschema)
+               .filter(~F.col("_deleted")))
+        new = (self._read_resolved(m_to, buckets=changed, file_schema=fschema)
+               .filter(~F.col("_deleted")))
+        o = old.select(F.col(key).alias("_ok"), *[c for c in old.columns if c != key])
+        n = new
+        j = n.alias("n").join(o.alias("o"), F.col(f"n.{key}") == F.col("o._ok"),
+                              "full_outer")
+        same_version = (
+            F.col("n._ts").eqNullSafe(F.col("o._ts"))
+            & F.col("n._seq").eqNullSafe(F.col("o._seq"))
+        )
+        ctype = (
+            F.when(F.col("o._ok").isNull(), F.lit("insert"))
+            .when(F.col(f"n.{key}").isNull(), F.lit("delete"))
+            .when(~same_version, F.lit("update"))
+        )
+        data_cols = [c for c in new.columns if c not in (key,)]
+        image = [
+            F.coalesce(F.col(f"n.{key}"), F.col("o._ok")).alias(key),
+        ] + [
+            F.when(F.col(f"n.{key}").isNull(), F.col(f"o.{c}"))
+            .otherwise(F.col(f"n.{c}")).alias(c)
+            for c in data_cols
+        ]
+        return (
+            j.select(ctype.alias("_change_type"), *image)
+            .filter(F.col("_change_type").isNotNull())
+        )
+
     # ------------------------------------------------------------- evolution
     def evolve(self, new_columns: T.StructType) -> int:
         """Explicit additive ALTER TABLE ADD COLUMNS (merge() also evolves

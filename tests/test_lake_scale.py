@@ -244,6 +244,79 @@ def test_crashed_commit_is_invisible_and_recoverable(spark, tmp_path, events,
     _assert_equal(_state(spark, path), oracle_state)
 
 
+def test_change_feed_between_snapshots(spark, tmp_path):
+    """CDC-out: changes(v1, v2) returns exactly the per-key net diff of
+    the two snapshot states (insert/update/delete), bucket-pruned."""
+    import pandas as pd
+
+    cols = ["event_seq", "op", "url", "warc_ts", "html"]
+
+    def ev(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=cols),
+            "event_seq long, op string, url string, warc_ts timestamp, html binary")
+
+    t0 = pd.Timestamp("2024-01-01")
+    batch1 = ev([
+        (1, "insert", "u/a", t0, b"<p>v1</p>"),
+        (2, "insert", "u/b", t0, b"<p>v2</p>"),
+        (3, "insert", "u/c", t0, b"<p>v3</p>"),
+    ])
+    batch2 = ev([
+        (4, "update", "u/b", t0 + pd.Timedelta("1h"), b"<p>v4</p>"),  # update
+        (5, "delete", "u/c", t0 + pd.Timedelta("1h"), None),          # delete
+        (6, "insert", "u/d", t0 + pd.Timedelta("1h"), b"<p>v6</p>"),  # insert
+        (7, "update", "u/a", t0 - pd.Timedelta("1h"), b"<p>stale</p>"),  # stale no-op
+    ])
+    path = str(tmp_path / "cdc")
+    table = LakeTable.create(spark, path, _pages_schema(batch1), key="url",
+                             n_buckets=8)
+    apply_batch(table, batch1, batch_id="b:0")
+    v1 = table.current_version()
+    apply_batch(table, batch2, batch_id="b:1")
+    v2 = table.current_version()
+
+    got = table.changes(v1, v2).select("_change_type", "url", "text") \
+        .toPandas().sort_values("url").reset_index(drop=True)
+    assert list(zip(got["_change_type"], got["url"])) == [
+        ("update", "u/b"), ("delete", "u/c"), ("insert", "u/d")]
+    # images: new image for insert/update, last visible image for delete
+    assert list(got["text"]) == ["v4", "v3", "v6"]
+    # no-change version pair -> empty feed
+    assert table.changes(v2, v2).count() == 0
+    # full-history feed == current visible state as inserts
+    full = table.changes(0, v2)
+    assert full.filter("_change_type = 'insert'").count() == 3
+    assert full.filter("_change_type != 'insert'").count() == 0
+
+
+def test_change_feed_bucket_pruning(spark, tmp_path, events):
+    """A commit touching one bucket must make changes() read only that
+    bucket (manifest file-list comparison — no data scanned elsewhere)."""
+    path = str(tmp_path / "cdcprune")
+    apply_batch(LakeTable.create(spark, path, _pages_schema(events),
+                                 key="url", n_buckets=8),
+                events, batch_id="base:0", mode="cow")
+    table = LakeTable(spark, path)
+    v1 = table.current_version()
+    one_url = events.select("url").first()["url"]
+    late = (events.filter(F.col("url") == one_url).limit(1)
+            .withColumn("event_seq", F.lit(99_000_000))
+            .withColumn("warc_ts", F.current_timestamp()))
+    apply_batch(table, late, batch_id="late:0", mode="mor")
+    v2 = table.current_version()
+    m1, m2 = table.manifest(v1), table.manifest(v2)
+    diff_buckets = [
+        b for b in set(m1["files"]) | set(m2["files"]) | set(m2["deltas"])
+        if m1["files"].get(b) != m2["files"].get(b)
+        or m1.get("deltas", {}).get(b) != m2.get("deltas", {}).get(b)
+    ]
+    assert len(diff_buckets) == 1  # the pruning set changes() uses
+    feed = table.changes(v1, v2).toPandas()
+    assert list(feed["_change_type"]) == ["update"]
+    assert list(feed["url"]) == [one_url]
+
+
 def test_expire_snapshots_bounds_metadata(spark, tmp_path, events, oracle_state):
     path = str(tmp_path / "expire")
     replay(spark, path, events, n_batches=6, n_buckets=4, mode="cow")
