@@ -827,31 +827,49 @@ class LakeTable:
         else:
             changed = None  # rebucketed: no bucket correspondence
         key = m_to["key"]
+        # old side: what was VISIBLE at from_version. new side: resolved
+        # rows INCLUDING tombstones — a key tombstoned between the
+        # versions is a 'delete' whose (_ts,_seq) must come from the
+        # tombstone event (so a downstream MERGE apply wins LWW) while
+        # the payload is the pre-image (what consumers lost). Retention
+        # caveat (same as Delta/Iceberg CDF): compact(drop_tombstones)
+        # between the two versions physically removes the tombstone —
+        # the delete is still emitted (old side present, new side gone)
+        # but then carries the pre-image's (_ts,_seq).
         old = (self._read_resolved(m_from, buckets=changed, file_schema=fschema)
                .filter(~F.col("_deleted")))
-        new = (self._read_resolved(m_to, buckets=changed, file_schema=fschema)
-               .filter(~F.col("_deleted")))
+        new = self._read_resolved(m_to, buckets=changed, file_schema=fschema)
         o = old.select(F.col(key).alias("_ok"), *[c for c in old.columns if c != key])
-        n = new
-        j = n.alias("n").join(o.alias("o"), F.col(f"n.{key}") == F.col("o._ok"),
-                              "full_outer")
+        j = new.alias("n").join(o.alias("o"), F.col(f"n.{key}") == F.col("o._ok"),
+                                "full_outer")
+        n_present = F.col(f"n.{key}").isNotNull()
+        o_present = F.col("o._ok").isNotNull()
+        n_dead = n_present & F.col("n._deleted")
         same_version = (
             F.col("n._ts").eqNullSafe(F.col("o._ts"))
             & F.col("n._seq").eqNullSafe(F.col("o._seq"))
         )
         ctype = (
-            F.when(F.col("o._ok").isNull(), F.lit("insert"))
-            .when(F.col(f"n.{key}").isNull(), F.lit("delete"))
-            .when(~same_version, F.lit("update"))
+            F.when(~o_present & n_present & ~F.col("n._deleted"), F.lit("insert"))
+            .when(o_present & (n_dead | ~n_present), F.lit("delete"))
+            .when(o_present & n_present & ~F.col("n._deleted") & ~same_version,
+                  F.lit("update"))
         )
-        data_cols = [c for c in new.columns if c not in (key,)]
+        is_delete = ctype == "delete"
+        payload_cols = [c for c in new.columns if c not in (key, *SYS_COLS)]
         image = [
             F.coalesce(F.col(f"n.{key}"), F.col("o._ok")).alias(key),
         ] + [
-            F.when(F.col(f"n.{key}").isNull(), F.col(f"o.{c}"))
-            .otherwise(F.col(f"n.{c}")).alias(c)
-            for c in data_cols
-        ]
+            # delete -> pre-image payload; insert/update -> new image
+            F.when(is_delete, F.col(f"o.{c}")).otherwise(F.col(f"n.{c}")).alias(c)
+            for c in payload_cols
+        ] + [
+            # ordering keys from the NEW side when it exists (tombstone
+            # included) so downstream applies win LWW; fall back to the
+            # pre-image's for the dropped-tombstone case
+            F.when(n_present, F.col(f"n.{c}")).otherwise(F.col(f"o.{c}")).alias(c)
+            for c in ("_seq", "_ts")
+        ] + [is_delete.alias("_deleted")]
         return (
             j.select(ctype.alias("_change_type"), *image)
             .filter(F.col("_change_type").isNotNull())

@@ -1,1 +1,2 @@
 from .tailer import tail_change_log, stream_metrics  # noqa: F401
+from .feed import replicate, sync_changes  # noqa: F401
