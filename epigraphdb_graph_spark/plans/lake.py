@@ -814,7 +814,15 @@ class LakeTable:
         reverted to a byte-identical (_ts,_seq) shows no change; a key
         whose winner changed shows exactly one row."""
         m_to = self.manifest(to_version)
-        m_from = self.manifest(from_version)
+        try:
+            m_from = self.manifest(from_version)
+        except FileNotFoundError as e:
+            raise FileNotFoundError(
+                f"snapshot v{from_version} has been expired — change feeds "
+                f"can only start from a retained snapshot; size "
+                f"expire_snapshots(keep_last=...) beyond the longest "
+                f"consumer lag (CDF retention, as in Delta/Iceberg)"
+            ) from e
         fschema = self._file_schema(m_to)
         if m_from["n_buckets"] == m_to["n_buckets"]:
             all_b = set(m_from.get("files", {})) | set(m_from.get("deltas", {})) \

@@ -64,7 +64,8 @@ def sync_changes(table: LakeTable, out_dir: str, *,
     last = _read_cursor(state_file)
     current = table.current_version()
     if current <= last:
-        return {"shipped": 0, "from_version": last, "to_version": last}
+        return {"shipped": 0, "shipped_files": 0,
+                "from_version": last, "to_version": last}
     feed = table.changes(last, current)
     final = os.path.join(out_dir, f"changes-{last:08d}-{current:08d}")
     tmp = os.path.join(out_dir, f".tmp-{uuid.uuid4().hex}")
