@@ -101,6 +101,25 @@ class ConcurrentWriteError(RuntimeError):
 # the accounting layer, not the only correctness layer.
 # --------------------------------------------------------------------------
 
+#: lateness horizon (seconds) for late-event accounting; override per
+#: table via properties={"lateness_horizon_s": ...} at create()
+DEFAULT_LATENESS_HORIZON_S = 3600
+
+
+def _late_threshold_micros(m: dict) -> int:
+    """Events with warc_ts below this are 'late' relative to the table's
+    event-time watermark. MERGE semantics make lateness harmless for
+    correctness (LWW decides per row — SURVEY §2.11 St3); this powers the
+    *accounting* a production tailer alarms on, and bounds when
+    compact(drop_tombstones=True) is safe."""
+    wm = m.get("watermark_ts")
+    if wm is None:
+        return -(1 << 62)  # no watermark yet: nothing is late
+    horizon_s = m.get("properties", {}).get(
+        "lateness_horizon_s", DEFAULT_LATENESS_HORIZON_S)
+    return wm - int(horizon_s) * 1_000_000
+
+
 def _parse_batch_id(batch_id: str) -> tuple[str, int] | None:
     ns, sep, tail = batch_id.rpartition(":")
     if sep and tail.isdigit():
@@ -233,6 +252,9 @@ class LakeTable:
             "deltas": {},  # bucket(str) -> [relative paths] (MOR deltas)
             "ledger": {"hwm": {}, "recent": [], "applied_count": 0},
             "watermark_seq": -1,
+            # event-time watermark (max warc_ts applied, unix micros):
+            # drives late-event accounting and the tombstone-expiry bound
+            "watermark_ts": None,
             "properties": properties or {},
             "metrics": {},
         }
@@ -635,10 +657,12 @@ class LakeTable:
         # parquet footers (metadata only). An earlier design ran a separate
         # column-pruned metrics job per commit — one whole extra job.
         obs = None
+        late_thr = _late_threshold_micros(m)
         if collect_metrics:
             from pyspark.sql import Observation
 
             obs = Observation()
+            applied = ~F.col("_action").isin("keep", "stale")
             out = resolved.observe(
                 obs,
                 *[
@@ -646,6 +670,14 @@ class LakeTable:
                     for a in ("keep", "insert", "update", "delete",
                               "tombstone_new", "revive", "stale")
                 ],
+                # event-time watermark + late-data accounting (St3):
+                # max applied event time, and applied events older than
+                # (previous watermark - lateness horizon). Stale rows are
+                # late by definition and already counted above.
+                F.max(F.when(applied, F.unix_micros(F.col("_ts")))).alias("_wm_ts"),
+                F.sum(F.when(
+                    applied & (F.unix_micros(F.col("_ts")) < F.lit(late_thr)),
+                    1).otherwise(0)).alias("_late"),
             ).drop("_action")
         n_parts = max(len(touched), 1)
         new_files = self._write_snapshot(out.repartition(n_parts, "_bucket"), version)
@@ -653,13 +685,19 @@ class LakeTable:
         metrics = {}
         if collect_metrics and obs is not None:
             got = obs.get
-            agg = {a: int(v) for a, v in got.items() if v}
+            agg = {a: int(v) for a, v in got.items()
+                   if v and not a.startswith("_")}
             by_bucket = {
                 b: {"rows": sum(_parquet_num_rows(os.path.join(self.path, f))
                                 for f in fl)}
                 for b, fl in new_files.items()
             }
-            metrics = {"actions": agg, "by_bucket": by_bucket}
+            metrics = {"actions": agg, "by_bucket": by_bucket,
+                       "late_events": int(got.get("_late") or 0)
+                       + agg.get("stale", 0)}
+            wm_obs = got.get("_wm_ts")
+            if wm_obs is not None:
+                metrics["_wm_ts_obs"] = int(wm_obs)
 
         files = dict(m["files"])
         deltas = dict(m.get("deltas", {}))
@@ -676,6 +714,10 @@ class LakeTable:
         watermark = max(m["watermark_seq"], watermark_seq)
         src.unpersist()
 
+        wm_ts = m.get("watermark_ts")
+        obs_ts = metrics.pop("_wm_ts_obs", None)
+        if obs_ts is not None:
+            wm_ts = obs_ts if wm_ts is None else max(wm_ts, obs_ts)
         manifest = {
             **m,
             "version": version,
@@ -685,6 +727,7 @@ class LakeTable:
             "deltas": deltas,
             "ledger": _ledger_add(m, batch_id),
             "watermark_seq": watermark,
+            "watermark_ts": wm_ts,
             "metrics": {"op": "merge", "batch_id": batch_id, **metrics, **extra},
         }
         self._commit(manifest)
@@ -731,6 +774,7 @@ class LakeTable:
         # the action runs) — a separate metrics pass was a whole extra job
         # per commit; per-bucket row counts come from parquet footers below
         obs = None
+        late_thr = _late_threshold_micros(m)
         if collect_metrics:
             from pyspark.sql import Observation
 
@@ -739,6 +783,9 @@ class LakeTable:
                 obs,
                 F.sum(F.when(F.col("_deleted"), 1).otherwise(0)).alias("deletes"),
                 F.sum(F.when(F.col("_deleted"), 0).otherwise(1)).alias("upserts"),
+                F.max(F.unix_micros(F.col("_ts"))).alias("_wm_ts"),
+                F.sum(F.when(F.unix_micros(F.col("_ts")) < F.lit(late_thr), 1)
+                      .otherwise(0)).alias("_late"),
             )
         new_files = self._write_snapshot(
             out.repartition(m["n_buckets"], "_bucket"), version, kind="delta"
@@ -760,6 +807,9 @@ class LakeTable:
             n_upserts = int(got.get("upserts") or 0)
             n_deletes = int(got.get("deletes") or 0)
             metrics["actions"] = {"append_upsert": n_upserts, "append_delete": n_deletes}
+            metrics["late_events"] = int(got.get("_late") or 0)
+            if got.get("_wm_ts") is not None:
+                metrics["_wm_ts_obs"] = int(got["_wm_ts"])
             # per-bucket lineage from parquet footers: pure metadata reads,
             # no executors involved
             metrics["by_bucket"] = {
@@ -776,6 +826,10 @@ class LakeTable:
         deltas = dict(m.get("deltas", {}))
         for b, fl in new_files.items():
             deltas[b] = list(deltas.get(b, [])) + fl
+        wm_ts = m.get("watermark_ts")
+        obs_ts = metrics.pop("_wm_ts_obs", None)
+        if obs_ts is not None:
+            wm_ts = obs_ts if wm_ts is None else max(wm_ts, obs_ts)
         self._commit({
             **m,
             "version": version,
@@ -784,6 +838,7 @@ class LakeTable:
             "deltas": deltas,
             "ledger": _ledger_add(m, batch_id),
             "watermark_seq": watermark,
+            "watermark_ts": wm_ts,
             "metrics": {"op": "merge", "batch_id": batch_id, **metrics, **extra},
         })
         return MergeResult(

@@ -156,10 +156,12 @@ def stream_metrics(table: LakeTable) -> DataFrame:
                 "deleted": actions.get("delete", 0) + actions.get("tombstone_new", 0),
                 "stale_skipped": actions.get("stale", 0),
                 "kept": actions.get("keep", 0),
+                "late_events": m.get("late_events", 0),
             }
         )
     return table.spark.createDataFrame(
         rows,
         "version int, op string, batch_id string, watermark_seq long, "
-        "inserted long, updated long, deleted long, stale_skipped long, kept long",
+        "inserted long, updated long, deleted long, stale_skipped long, "
+        "kept long, late_events long",
     )

@@ -244,6 +244,58 @@ def test_crashed_commit_is_invisible_and_recoverable(spark, tmp_path, events,
     _assert_equal(_state(spark, path), oracle_state)
 
 
+def test_event_time_watermark_and_late_accounting(spark, tmp_path):
+    """St3: the manifest tracks the event-time watermark (max applied
+    warc_ts) and each commit accounts events older than (watermark -
+    lateness horizon). Late events stay CORRECT (LWW decides) — this is
+    the alarm/ops signal, plus the tombstone-expiry safety bound."""
+    import pandas as pd
+
+    cols = "event_seq long, op string, url string, warc_ts timestamp, html binary"
+
+    def ev(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["event_seq", "op", "url", "warc_ts",
+                                        "html"]), cols)
+
+    t0 = pd.Timestamp("2024-06-01 12:00:00")
+    path = str(tmp_path / "wm")
+    table = LakeTable.create(
+        spark, path, _pages_schema(ev([])), key="url", n_buckets=4,
+        properties={"lateness_horizon_s": 600})  # 10 min horizon
+    apply_batch(table, ev([
+        (1, "insert", "u/a", t0, b"<p>a</p>"),
+        (2, "insert", "u/b", t0 + pd.Timedelta("5min"), b"<p>b</p>"),
+    ]), batch_id="w:0")
+    m1 = table.manifest()
+    assert m1["watermark_ts"] == int((t0 + pd.Timedelta("5min")).timestamp() * 1e6)
+    assert m1["metrics"]["late_events"] == 0  # no watermark existed yet
+
+    # batch 2: one fresh event, one 30-min-late event (beyond horizon),
+    # one slightly-late event (within horizon)
+    apply_batch(table, ev([
+        (3, "update", "u/a", t0 + pd.Timedelta("10min"), b"<p>a2</p>"),
+        (4, "insert", "u/c", t0 - pd.Timedelta("30min"), b"<p>late</p>"),
+        (5, "insert", "u/d", t0 + pd.Timedelta("1min"), b"<p>okish</p>"),
+    ]), batch_id="w:1")
+    m2 = table.manifest()
+    assert m2["metrics"]["late_events"] == 1  # only the beyond-horizon one
+    assert m2["watermark_ts"] == int((t0 + pd.Timedelta("10min")).timestamp() * 1e6)
+    # the late event was still applied correctly (accounting, not dropping)
+    assert table.read().filter("url = 'u/c'").count() == 1
+
+    # MOR commits account lateness too
+    apply_batch(table, ev([
+        (6, "update", "u/b", t0 - pd.Timedelta("2h"), b"<p>stale</p>"),
+    ]), batch_id="w:2", mode="mor")
+    assert table.manifest()["metrics"]["late_events"] == 1
+    # watermark never regresses
+    assert table.manifest()["watermark_ts"] == m2["watermark_ts"]
+
+    from epigraphdb_graph_spark.streaming import stream_metrics
+    assert stream_metrics(table).agg(F.sum("late_events")).first()[0] == 2
+
+
 def test_change_feed_between_snapshots(spark, tmp_path):
     """CDC-out: changes(v1, v2) returns exactly the per-key net diff of
     the two snapshot states (insert/update/delete), bucket-pruned."""
