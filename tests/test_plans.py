@@ -89,3 +89,34 @@ def test_extraction_udf_is_arrow(spark, sf_dir, qmap):
     plan = _plan(qmap["q40_extraction_udf"](spark, sf_dir))
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """§4 physical execution: two tables bucketed on the join key
+    (registry.ddl_for's CLUSTERED BY spec) join with ZERO exchanges —
+    the co-location pattern that makes repeated big-table joins viable
+    at 100 TB (shuffle once at write time, never again at read)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    left = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v1"))
+    right = spark.range(0, 10_000, 2).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v2"))
+    for name, df in (("bkt_left", left), ("bkt_right", right)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (df.write.bucketBy(8, "k").sortBy("k")
+         .option("path", str(tmp_path / name)).saveAsTable(name))
+    try:
+        # hint forces SMJ (the demo tables are small enough to broadcast,
+        # which would also be shuffle-free but isn't the pattern under test)
+        j = spark.table("bkt_left").hint("merge").join(
+            spark.table("bkt_right"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle at all
+        assert j.count() == 5_000
+    finally:
+        for name in ("bkt_left", "bkt_right"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
