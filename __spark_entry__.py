@@ -1512,6 +1512,33 @@ def q54(spark, sf):
         F.col("_change_type").alias("change_type"), "url")
 
 
+@_q("q55_quantiles", """
+SELECT l_returnflag,
+       CAST(floor(quantile_cont(l_extendedprice, 0.25) * 1000) AS BIGINT) AS p25_milli,
+       CAST(floor(quantile_cont(l_extendedprice, 0.50) * 1000) AS BIGINT) AS p50_milli,
+       CAST(floor(quantile_cont(l_extendedprice, 0.75) * 1000) AS BIGINT) AS p75_milli,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+""")
+def q55(spark, sf):
+    """Exact grouped quantiles (profiling-stage statistic; SURVEY A5/K6
+    extension): continuous-interpolation percentiles, milli-quantized.
+    Exact percentile needs a per-group sort — right for profiling runs;
+    streaming/huge-cardinality paths would use approx_percentile's
+    t-digest sketch (mergeable, one pass) at the cost of oracle
+    exactness."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.floor(F.percentile("l_extendedprice", F.lit(0.25)) * 1000)
+        .cast("bigint").alias("p25_milli"),
+        F.floor(F.percentile("l_extendedprice", F.lit(0.50)) * 1000)
+        .cast("bigint").alias("p50_milli"),
+        F.floor(F.percentile("l_extendedprice", F.lit(0.75)) * 1000)
+        .cast("bigint").alias("p75_milli"),
+        F.count("*").alias("n"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 
