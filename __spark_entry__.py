@@ -1539,6 +1539,54 @@ def q55(spark, sf):
     )
 
 
+@_q("q56_corpus_clean", """
+WITH gated AS (
+  SELECT doc_id, text FROM documents
+  WHERE length(text) >= 100 AND len(string_split_regex(text, '\\s+')) >= 20
+),
+exact AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM gated) x WHERE rn = 1
+),
+words AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w FROM exact) t
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM words GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+victims AS (
+  SELECT DISTINCT p.id_b AS doc_id
+  FROM pairs p JOIN sizes sa ON sa.doc_id = p.id_a
+               JOIN sizes sb ON sb.doc_id = p.id_b
+  WHERE p.c * 1000 >= 800 * (sa.n + sb.n - p.c)
+)
+SELECT e.doc_id, length(e.text) AS text_len FROM exact e
+WHERE e.doc_id NOT IN (SELECT doc_id FROM victims)
+""")
+def q56(spark, sf):
+    """The composed training-data cleaning pipeline
+    (operators/pipeline.py.clean_corpus): quality gate -> exact dedup
+    (min-id representative) -> MinHash-LSH candidates + exact-Jaccard
+    verify -> greedy-by-id near-dup removal at J>=0.8. The oracle
+    recomputes every stage in SQL with brute-force pairs as ground truth
+    — equality certifies both the stage semantics AND that the banded
+    candidate generation recalls every >=0.8 pair on this corpus. Exact
+    dedup here keys on md5(text) for oracle portability; the library
+    default is xxhash64."""
+    from epigraphdb_graph_spark.operators.pipeline import clean_corpus
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    out = clean_corpus(d, min_chars=100, min_tokens=20,
+                       near_dup_jaccard=0.8, n_hashes=32, n_bands=16)
+    return out.select("doc_id", F.length("text").cast("bigint").alias("text_len"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

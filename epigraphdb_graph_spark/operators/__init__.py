@@ -18,3 +18,4 @@ from .similarity import (  # noqa: F401
     rp_lsh_buckets,
 )
 from .quarantine import quarantine, split_valid  # noqa: F401
+from .pipeline import clean_corpus  # noqa: F401

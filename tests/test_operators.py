@@ -137,6 +137,27 @@ def test_simhash_portable_matches_reference_impl(spark):
         assert int(got[_id]) == py_simhash(text)
 
 
+def test_clean_corpus_pipeline_semantics(spark):
+    """Composed cleaning pipeline: quality gate, exact dedup (min-id rep),
+    greedy-by-id near-dup removal — each stage's semantics asserted."""
+    from epigraphdb_graph_spark.operators.pipeline import clean_corpus
+
+    long_a = " ".join(f"w{i}" for i in range(40))          # 40 tokens
+    near_a = " ".join(f"w{i}" for i in range(1, 41))       # J = 39/41 ≈ 0.95
+    other = " ".join(f"z{i}" for i in range(40))
+    short = "too short"
+    rows = [
+        (0, long_a), (1, long_a),      # exact dups -> keep 0
+        (2, near_a),                   # near-dup of 0 -> removed (greedy)
+        (3, other),                    # distinct -> kept
+        (4, short),                    # fails quality gate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = clean_corpus(df, min_chars=50, min_tokens=20,
+                       near_dup_jaccard=0.8, n_hashes=32, n_bands=16)
+    assert sorted(r["doc_id"] for r in out.collect()) == [0, 3]
+
+
 def test_jaccard_hot_token_cap_bounded_and_exact(spark):
     """Stopword-heavy corpus: with max_token_df set, (a) candidate
     generation never joins on the hot token — per-token pair fan-out is
