@@ -87,6 +87,36 @@ def test_replicate_redelivery_is_noop(spark, tmp_path, events):
     assert _state(spark, replica_path).equals(before)
 
 
+def test_replicate_across_schema_evolution(spark, tmp_path):
+    """Primary evolves (lang appears mid-stream); the feed carries the new
+    column and the replica's MERGE evolves additively — replication needs
+    zero schema coordination."""
+    from pyspark.sql import functions as F
+
+    pre = generate_change_events(spark, 300, seed=31, with_lang=False)
+    post = generate_change_events(spark, 600, seed=31, with_lang=True).filter(
+        F.col("event_seq") >= 300)
+    primary_path, replica_path = str(tmp_path / "p"), str(tmp_path / "r")
+    cursor = str(tmp_path / "c.json")
+
+    replay(spark, primary_path, pre, n_batches=1, n_buckets=4)
+    primary = LakeTable(spark, primary_path)
+    replicate(primary, replica_path, state_file=cursor, n_buckets=4)
+    assert "lang" not in [f.name for f in LakeTable(spark, replica_path)
+                          .schema().fields]
+
+    replay(spark, primary_path, post, n_batches=1, n_buckets=4)
+    replicate(primary, replica_path, state_file=cursor, n_buckets=4)
+    replica = LakeTable(spark, replica_path)
+    assert "lang" in [f.name for f in replica.schema().fields]
+    p = primary.read().select("url", "text", "lang").toPandas() \
+        .sort_values("url").reset_index(drop=True)
+    r = replica.read().select("url", "text", "lang").toPandas() \
+        .sort_values("url").reset_index(drop=True)
+    assert p.equals(r)
+    assert r["lang"].notna().any()
+
+
 def test_sync_changes_ships_ranges_exactly_once(spark, tmp_path, events):
     primary_path = str(tmp_path / "p3")
     out = str(tmp_path / "downstream")

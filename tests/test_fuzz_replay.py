@@ -74,3 +74,20 @@ def test_replay_state_is_batching_and_mode_invariant(
     assert list(got["url"]) == list(want["url"])
     assert list(got["warc_ts"]) == list(want["warc_ts"])
     assert list(got["text"]) == list(want["text"])
+
+    # change-feed reconstruction invariant: state(v1) patched with
+    # changes(v1, head) must equal state(head), for any v1 in history
+    v_head = table.current_version()
+    v_mid = max(1, v_head // 2)
+    s_mid = table.read(version=v_mid).select("url", "text").toPandas()
+    feed = table.changes(v_mid, v_head).select(
+        "_change_type", "url", "text").toPandas()
+    patched = {r["url"]: r["text"] for _, r in s_mid.iterrows()}
+    for _, r in feed.iterrows():
+        if r["_change_type"] == "delete":
+            patched.pop(r["url"], None)
+        else:
+            patched[r["url"]] = r["text"]
+    head = {r["url"]: r["text"]
+            for _, r in table.read().select("url", "text").toPandas().iterrows()}
+    assert patched == head
