@@ -120,9 +120,26 @@ def _late_threshold_micros(m: dict) -> int:
     return wm - int(horizon_s) * 1_000_000
 
 
+#: namespaces whose "{ns}:{seq}" batch ids carry high-watermark semantics
+#: ("seq <= hwm" == "every event at log position <= seq is applied"). Only
+#: the engine's own writers are listed — each guarantees per-namespace
+#: monotone, gap-free seq coverage (replay: contiguous ascending event-seq
+#: ranges keyed by range END; tailer: Spark's monotonically increasing
+#: micro-batch ids; feed: ascending replica source versions). A
+#: caller-supplied id like "backfill:20240817" must NOT be hwm-matched —
+#: date-stamped or out-of-order numeric suffixes would silently no-op later
+#: batches — so unreserved ids are tracked verbatim in the bounded recent
+#: set only (aging out is safe: a re-applied batch is a per-row stale
+#: no-op, never a skip).
+_HWM_NAMESPACES = frozenset({"replay", "feed"})
+_HWM_NS_PREFIXES = ("stream-",)
+
+
 def _parse_batch_id(batch_id: str) -> tuple[str, int] | None:
     ns, sep, tail = batch_id.rpartition(":")
-    if sep and tail.isdigit():
+    if sep and tail.isdigit() and (
+        ns in _HWM_NAMESPACES or ns.startswith(_HWM_NS_PREFIXES)
+    ):
         return ns, int(tail)
     return None
 

@@ -163,8 +163,17 @@ def replay(
                 table,
                 chunk,
                 # "ns:seq" structured id -> O(1) ledger entry (per-namespace
-                # high watermark); batches apply in ascending start order
-                batch_id=f"replay:{start:012d}",
+                # high watermark). The id encodes the range END so that
+                # "seq <= hwm" truly means "every log position <= hwm is
+                # applied" regardless of batching: batches are contiguous
+                # ascending ranges from the log's minimum, and the log is
+                # append-only (event_seq only grows at the tail), so a
+                # re-run over a GROWN log — whose shifted boundaries would
+                # have broken start-encoded ids — skips exactly the batches
+                # it fully covered before and re-applies straddlers, whose
+                # already-applied rows are per-row stale no-ops (COW) /
+                # resolution tie-collapsed (MOR).
+                batch_id=f"replay:{end - 1:012d}",
                 watermark_seq=end - 1,
                 mode=mode,
                 dead_letter_dir=dead_letter_dir,

@@ -212,6 +212,62 @@ def test_ledger_is_bounded_and_resumable(spark, tmp_path, events):
     assert table.manifest()["version"] == m["version"]
 
 
+@pytest.mark.parametrize("n_batches", [1, 4])
+def test_replay_rerun_over_grown_log_applies_new_events(
+        spark, tmp_path, events, n_batches):
+    """Regression (round-2 advice, high): replay batch ids encode the range
+    END, so re-running over a log that GREW since the last replay — which
+    shifts batch boundaries (step = span/n_batches), including the
+    n_batches=1 case where the single batch keeps its old start — must
+    apply the new tail events instead of hwm-skipping them."""
+    path = str(tmp_path / f"grown_{n_batches}")
+    old = events.filter(F.col("event_seq") < N_EVENTS // 2)
+    replay(spark, path, old, n_batches=n_batches, n_buckets=4)
+    table = LakeTable(spark, path)
+    assert table.manifest()["watermark_seq"] == N_EVENTS // 2 - 1
+
+    # the log grows at the tail; same replay invocation, same n_batches
+    replay(spark, path, events, n_batches=n_batches, n_buckets=4)
+    assert table.manifest()["watermark_seq"] == N_EVENTS - 1
+    _assert_equal(_state(spark, path), replay_oracle(events.toPandas()))
+
+
+def test_unreserved_batch_id_namespaces_are_not_hwm_matched(spark, tmp_path):
+    """Regression (round-2 advice, medium): only the engine's own reserved
+    namespaces (replay / feed / stream-*) get high-watermark semantics. A
+    caller id like 'backfill:20240817' followed by a numerically smaller
+    'backfill:20230101' must both apply — date-stamped suffixes are not
+    monotone, and hwm-skipping the second silently loses its data."""
+    from epigraphdb_graph_spark.schema import PAGES_SCHEMA
+
+    path = str(tmp_path / "ns")
+    table = LakeTable.create(spark, path, PAGES_SCHEMA, key="url", n_buckets=4)
+
+    def batch(seq, url, ts):
+        pdf = pd.DataFrame(
+            [(seq, "insert", url, pd.Timestamp(ts), b"<p>x</p>")],
+            columns=["event_seq", "op", "url", "warc_ts", "html"],
+        )
+        return spark.createDataFrame(pdf)
+
+    r1 = apply_batch(table, batch(1, "a", "2024-08-17"),
+                     batch_id="backfill:20240817")
+    assert not r1.noop and r1.inserted == 1
+    # numerically smaller suffix in an unreserved namespace: must APPLY
+    r2 = apply_batch(table, batch(2, "b", "2024-08-18"),
+                     batch_id="backfill:20230101")
+    assert not r2.noop and r2.inserted == 1
+    assert table.read().count() == 2
+    # verbatim exact-id dedup still works for unreserved ids
+    r3 = apply_batch(table, batch(3, "c", "2024-08-19"),
+                     batch_id="backfill:20230101")
+    assert r3.noop
+    assert table.read().count() == 2
+    # reserved namespaces DO hwm-match (the O(1) fast path)
+    led = table.manifest()["ledger"]
+    assert "backfill" not in led["hwm"]
+
+
 def test_crashed_commit_is_invisible_and_recoverable(spark, tmp_path, events,
                                                      oracle_state):
     """Atomic commit property: a writer that dies AFTER writing the new
