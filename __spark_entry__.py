@@ -736,8 +736,9 @@ def q35(spark, sf):
     from epigraphdb_graph_spark.operators.dedup import jaccard_pairs
 
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 60)
-    # share_scan off: on a 60-doc demo the checkpoint job costs more than
-    # the recomputes it saves; the library default (on) is the scale path
+    # share_scan stays off (the library default — opt-in eager
+    # materialization): on a 60-doc demo the checkpoint job costs more
+    # than the recomputes it saves
     pairs = jaccard_pairs(d, min_jaccard=0.0, max_token_df=60,
                           share_scan=False)
     return (

@@ -37,13 +37,19 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """Distinct word n-gram shingles per doc (n=1 -> word set)."""
+    """Distinct word n-gram shingles per doc (n=1 -> word set). Standard
+    n-gram semantics: a doc with fewer than n tokens has NO n-shingles
+    (explode of an empty array drops the doc) — no truncated final gram."""
     toks = F.split(F.col(text_col), r"\s+")
     if n == 1:
         sh = F.explode(toks)
     else:
-        # sliding window of n tokens, joined with '\x1f'
-        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        # sliding window of n tokens, joined with '\x1f'; empty index array
+        # (not a clamped one) when size < n, else sequence() would count
+        # DOWN to a negative stop and emit short grams
+        idx = F.when(
+            F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+        ).otherwise(F.array().cast("array<int>"))
         sh = F.explode(
             F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), "\x1f"))
         )
@@ -287,7 +293,7 @@ def jaccard_pairs(
     min_jaccard: float = 0.5,
     shingle_n: int = 1,
     max_token_df: int | None = None,
-    share_scan: bool = True,
+    share_scan: bool = False,
 ) -> DataFrame:
     """Exact word-set Jaccard >= threshold via token equi-join (shuffle on
     token). Used standalone at moderate scale or as the verify stage after
@@ -306,12 +312,16 @@ def jaccard_pairs(
     not a near-dup worth finding). Choosing cap >= the corpus doc count
     provably disables the filter (DF can never exceed it).
 
-    ``share_scan=True`` (default) materializes the tokenized ``(_id,
-    token)`` relation once (eager localCheckpoint — triggers one job at
-    call time) and shares it across the 4-8 downstream consumers; without
-    it every consumer re-scans and re-tokenizes the corpus. At extreme
-    scale prefer writing the token relation to a lake table instead of
-    executor-local storage — same idea, durable medium.
+    ``share_scan=True`` materializes the tokenized ``(_id, token)``
+    relation once and shares it across the 4-8 downstream consumers;
+    without it every consumer re-scans and re-tokenizes the corpus.
+    **Opt-in** (off by default) because it is an eager localCheckpoint:
+    it runs a job at *call* time (even if the result is never executed)
+    and pins the token relation in executor storage (lineage truncated;
+    lost on executor failure) — side effects a plan-builder caller must
+    ask for, not inherit. At extreme scale prefer precomputing shingles
+    into a lake table and passing them via the minhash-style ``shingles``
+    parameter pattern — same idea, durable medium.
     """
     words = _shingles(df, id_col, text_col, shingle_n)
     if share_scan:

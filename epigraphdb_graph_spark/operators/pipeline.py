@@ -52,10 +52,20 @@ def clean_corpus(
     )
     # 2. exact dedup — min-id representative per identical content
     exact = exact_dedup(gated, text_col=text_col, id_col=id_col)
-    # 3. near-dup candidates (banded LSH) -> exact Jaccard verify
+    # 3. near-dup candidates (banded LSH) -> exact Jaccard verify.
+    # bucket_cap=None: the cap's over-cap star fallback only preserves
+    # *connectivity* (pairs to the bucket's min-id representative), which
+    # is sound for union-find consumers but NOT for the greedy direct-pair
+    # rule below — two near-dups in an over-cap bucket whose Jaccard to
+    # the representative is sub-threshold would both survive. Exhaustive
+    # intra-bucket pairs keep the greedy rule exact; occupancy is already
+    # bounded in practice by stages 1-2 (exact dup clusters — the
+    # pathological bucket filler — are gone before LSH runs). A capped +
+    # connected-components variant is the escape hatch if a corpus still
+    # produces mega-buckets of *distinct* near-identical docs.
     cand = minhash_candidate_pairs(
         exact, id_col=id_col, text_col=text_col,
-        n_hashes=n_hashes, n_bands=n_bands,
+        n_hashes=n_hashes, n_bands=n_bands, bucket_cap=None,
     )
     words = exact.select(
         F.col(id_col).alias("_id"),

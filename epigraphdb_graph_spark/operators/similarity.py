@@ -193,22 +193,71 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
     n_planes: int = 8,
     seed: int = 42,
+    bucket_cap: int | None = 1024,
 ) -> DataFrame:
     """Near-dup pairs (cosine >= threshold), candidate-restricted to
     same-LSH-bucket — the distributable form of the reference's all-pairs
-    pdist. Lower n_planes => higher recall, bigger buckets."""
+    pdist. Lower n_planes => higher recall, bigger buckets.
+
+    ``bucket_cap`` bounds the quadratic intra-bucket cost (the analog of
+    operators/dedup.py's MinHash bucket cap): a dense cluster of k
+    near-identical embeddings lands in ONE bucket and would emit O(k²)
+    pairs on one reducer — 10^5 copies of a boilerplate page's embedding
+    is 5·10^9 pairs. Buckets above the cap degrade to a
+    connectivity-preserving star: every member is scored only against the
+    bucket's min-id representative (k-1 pairs, O(k) per bucket), so a
+    union-find/cluster consumer still sees one connected component per
+    dup cluster. Pairs inside at-or-below-cap buckets are exhaustive, so
+    ordinary near-dup recall is unaffected; ``bucket_cap=None`` disables
+    the cap (exhaustive everywhere — only safe when no bucket is huge)."""
     b = rp_lsh_buckets(df, vec_col=vec_col, n_planes=n_planes, seed=seed)
-    l, r = b.alias("l"), b.alias("r")
-    cos = _dot(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")) / (
-        _norm(F.col(f"l.{vec_col}")) * _norm(F.col(f"r.{vec_col}"))
+
+    def _cos(lv, rv):
+        return _dot(lv, rv) / (_norm(lv) * _norm(rv))
+
+    def _pairs(left, right, extra_cond=None):
+        cond = (F.col("l._lsh_bucket") == F.col("r._lsh_bucket")) & (
+            F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        if extra_cond is not None:
+            cond = cond & extra_cond
+        cos = _cos(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"))
+        return (
+            left.alias("l").join(right.alias("r"), cond)
+            .select(
+                F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+                cos.alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
+
+    if bucket_cap is None:
+        return _pairs(b, b)
+    # occupancy + min-id representative per bucket in one map-side-
+    # combinable agg; joined back on the same bucket key (one shuffle
+    # partition chain, mirrors dedup.minhash_candidate_pairs)
+    occ = b.groupBy("_lsh_bucket").agg(
+        F.count("*").alias("_n"), F.min(id_col).alias("_rep"))
+    annotated = b.join(occ, "_lsh_bucket")
+    small = annotated.filter(F.col("_n") <= bucket_cap).drop("_n", "_rep")
+    exhaustive = _pairs(small, small)
+    # over-cap buckets: members score against the representative only.
+    # The rep-vector relation is one row per over-cap bucket — tiny by
+    # construction — so the join is a broadcast, never a shuffle.
+    reps = (
+        annotated.filter((F.col("_n") > bucket_cap) & (F.col(id_col) == F.col("_rep")))
+        .select("_lsh_bucket", F.col(id_col).alias("id_a"),
+                F.col(vec_col).alias("_rep_vec"))
     )
-    return (
-        l.join(r, (F.col("l._lsh_bucket") == F.col("r._lsh_bucket"))
-               & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+    members = annotated.filter(
+        (F.col("_n") > bucket_cap) & (F.col(id_col) != F.col("_rep")))
+    star = (
+        members.join(F.broadcast(reps), "_lsh_bucket")
         .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            cos.alias("cosine"),
+            "id_a",
+            F.col(id_col).alias("id_b"),
+            _cos(F.col("_rep_vec"), F.col(vec_col)).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
+    return exhaustive.unionByName(star)

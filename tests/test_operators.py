@@ -96,6 +96,21 @@ def test_jaccard_pairs_exact(spark):
     assert math.isclose(row["jaccard"], 3 / 5)
 
 
+def test_shingles_standard_ngram_semantics(spark):
+    """Docs with fewer than n tokens emit NO n-shingles (no truncated
+    final gram); a doc with exactly n tokens emits exactly one."""
+    from epigraphdb_graph_spark.operators.dedup import _shingles
+
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "a b c"), (2, "a b c d")],
+        "doc_id long, text string")
+    got = _shingles(df, "doc_id", "text", 3).toPandas()
+    by_id = got.groupby("_id")["_sh"].apply(list).to_dict()
+    assert 0 not in by_id                       # 2 tokens < n=3: nothing
+    assert by_id[1] == ["a\x1fb\x1fc"]          # exactly n: one full gram
+    assert sorted(by_id[2]) == ["a\x1fb\x1fc", "b\x1fc\x1fd"]
+
+
 def test_simhash_near_dup_pairs(spark):
     words = [f"tok{i}" for i in range(300)]
     d0 = " ".join(words)
@@ -282,3 +297,32 @@ def test_cosine_neardup_pairs_self_similarity(spark):
         [(0, v0), (1, v1), (2, v2)], "vec_id long, embedding array<double>")
     got = cosine_neardup_pairs(df, threshold=0.95, n_planes=4).toPandas()
     assert (0, 1) in set(zip(got["id_a"], got["id_b"]))
+
+
+def test_cosine_neardup_bucket_cap_star_degradation(spark):
+    """Skew guard: a dense cluster of near-identical embeddings lands in
+    one LSH bucket; with bucket_cap the output is O(k) star pairs to the
+    min-id representative (connectivity preserved), not O(k²)."""
+    import random
+    rng = random.Random(7)
+    base = [rng.gauss(0, 1) for _ in range(16)]
+    k = 10_000
+    rows = [
+        (i, [x + rng.gauss(0, 1e-4) for x in base]) for i in range(k)
+    ] + [(k, [rng.gauss(0, 1) for _ in range(16)])]  # one unrelated vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    capped = cosine_neardup_pairs(df, threshold=0.99, n_planes=4,
+                                  bucket_cap=100).toPandas()
+    # O(k) star, never O(k²): every cluster member pairs with vec_id 0
+    assert len(capped) <= k
+    assert set(capped["id_a"]) == {0}
+    assert set(capped["id_b"]) == set(range(1, k))
+    assert (capped["cosine"] >= 0.99).all()
+
+    # below-cap buckets stay exhaustive (tiny corpus, cap above occupancy)
+    small = df.filter(F.col("vec_id") < 4)
+    exhaustive = cosine_neardup_pairs(small, threshold=0.99, n_planes=4,
+                                      bucket_cap=1024).toPandas()
+    assert set(zip(exhaustive["id_a"], exhaustive["id_b"])) == {
+        (a, b) for a in range(4) for b in range(a + 1, 4)}
