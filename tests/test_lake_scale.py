@@ -181,17 +181,26 @@ def test_lww_winner_filter_semantics(spark):
     assert set(agg["url"]) == {"a", "b", "c"}
 
 
-def test_choose_mor_dedup_by_payload_size(spark):
-    """Adaptive MOR winner strategy: heavy pages -> broadcast filter
-    (skip superseded extraction), light pages -> append-all (resolution
-    dedups at read). Pure cost choice; both paths state-equal."""
+def test_choose_mor_dedup_by_supersede_ratio(spark):
+    """Adaptive MOR winner strategy keys on the supersede ratio
+    (round-2 regression fix: payload bytes alone picked append-all for
+    the 10:1-supersede headline shape): supersede-heavy batches -> agg
+    dedup (winners-only extraction + deltas), effectively-append-only
+    batches -> append-all (a dedup shuffle would collapse nothing). Pure
+    cost choice; both paths state-equal."""
     from epigraphdb_graph_spark.replay import choose_mor_dedup
     from epigraphdb_graph_spark.sources.events import generate_change_events
 
-    light = generate_change_events(spark, 500, seed=5, body_repeat=1)
-    heavy = generate_change_events(spark, 500, seed=5, body_repeat=100)
-    assert choose_mor_dedup(light) is False
-    assert choose_mor_dedup(heavy) == "filter"
+    superseding = generate_change_events(
+        spark, 2000, seed=5, n_domains=4, pages_per_domain=16)  # 64 keys
+    append_only = generate_change_events(
+        spark, 200, seed=5, n_domains=4000, pages_per_domain=4096)
+    assert choose_mor_dedup(superseding) is True
+    assert choose_mor_dedup(append_only) is False
+    # precomputed stats short-circuit the agg entirely
+    assert choose_mor_dedup(superseding, stats=(1000, 100)) is True
+    assert choose_mor_dedup(superseding, stats=(1000, 990)) is False
+    assert choose_mor_dedup(superseding, stats=(0, 0)) is False
 
 
 def test_ledger_is_bounded_and_resumable(spark, tmp_path, events):
@@ -266,6 +275,43 @@ def test_unreserved_batch_id_namespaces_are_not_hwm_matched(spark, tmp_path):
     # reserved namespaces DO hwm-match (the O(1) fast path)
     led = table.manifest()["ledger"]
     assert "backfill" not in led["hwm"]
+
+
+def test_manifest_file_rows_keep_read_path_footer_free(spark, tmp_path,
+                                                       events, monkeypatch):
+    """Per-file row counts are recorded in the manifest at commit time
+    (round-2 item 4): the MOR read path's delta sizing and lineage read
+    them as dict lookups — at object-store scale, per-read serial footer
+    GETs over 10^5 files would bottleneck every read."""
+    path = str(tmp_path / "stats")
+    replay(spark, path, events, n_batches=3, n_buckets=4, mode="mor")
+    table = LakeTable(spark, path)
+    m = table.manifest()
+    referenced = {f for d in (m["files"], m["deltas"])
+                  for fl in d.values() for f in fl}
+    assert set(m["file_rows"]) == referenced
+    # counts are the truth (spot-check against actual footers)
+    for f in sorted(referenced)[:3]:
+        assert m["file_rows"][f] == lake_mod._parquet_num_rows(
+            os.path.join(table.path, f))
+
+    # the read path must not open a single footer
+    def _boom(path):
+        raise AssertionError(f"read path touched a parquet footer: {path}")
+
+    monkeypatch.setattr(lake_mod, "_parquet_num_rows", _boom)
+    want = replay_oracle(events.toPandas())
+    _assert_equal(_state(spark, path), want)
+
+    # compaction retires delta entries from file_rows and carries the rest
+    monkeypatch.undo()
+    table.compact()
+    m2 = table.manifest()
+    referenced2 = {f for d in (m2["files"], m2["deltas"])
+                   for fl in d.values() for f in fl}
+    assert set(m2["file_rows"]) == referenced2
+    monkeypatch.setattr(lake_mod, "_parquet_num_rows", _boom)
+    _assert_equal(_state(spark, path), want)
 
 
 def test_crashed_commit_is_invisible_and_recoverable(spark, tmp_path, events,

@@ -133,20 +133,22 @@ def test_tailer_restart_same_checkpoint_is_noop(spark, tmp_path, events):
 
 
 def test_tailer_heavy_pages_uses_winner_filter(spark, tmp_path):
-    """KB-scale pages push the adaptive MOR strategy onto the broadcast
-    winner-filter branch (superseded events never reach extraction or the
-    delta files); final state must still equal the oracle."""
+    """The broadcast winner-filter branch (explicit mor_dedup="filter" —
+    the column-prunable-source option auto no longer picks): superseded
+    events never reach extraction or the delta files; final state must
+    still equal the oracle."""
     ev = generate_change_events(
         spark, 800, seed=13, n_domains=10, pages_per_domain=4,
         body_repeat=100,
     ).cache()
     from epigraphdb_graph_spark.replay import choose_mor_dedup
 
-    assert choose_mor_dedup(ev) == "filter"  # the branch under test
+    # auto picks agg dedup for this supersede-heavy shape (40 keys)
+    assert choose_mor_dedup(ev) is True
     log_dir, table_path, ckpt = (str(tmp_path / d) for d in ("log", "t", "c"))
     ev.write.parquet(log_dir)
     q = tail_change_log(spark, log_dir, table_path, ckpt, n_buckets=4,
-                        mode="mor")
+                        mode="mor", mor_dedup="filter")
     q.awaitTermination(120)
     table = LakeTable(spark, table_path)
     _assert_equal(_read_state(spark, table_path), ev.toPandas())
