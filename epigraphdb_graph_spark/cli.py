@@ -72,13 +72,19 @@ def cmd_replay(args) -> int:
                    generate_change_events(spark, warmup_n, seed=1,
                                           body_repeat=args.body_repeat),
                    n_batches=1, n_buckets=args.buckets, mode=args.mode)
+            if args.mode == "mor":
+                # the timed region ends in compaction — warm its codegen
+                # (resolution + rewrite plans) too, not just the commit path
+                LakeTable(spark, f"{wdir}/t").compact()
         finally:
             _sh.rmtree(wdir, ignore_errors=True)
+    mor_dedup = {"auto": "auto", "agg": True, "filter": "filter",
+                 "none": False}[getattr(args, "mor_dedup", "auto")]
     t0 = time.perf_counter()
     results = replay(
         spark, args.table, events, n_batches=args.batches,
         n_buckets=args.buckets, mode=args.mode, compact_every=args.compact_every,
-        dead_letter_dir=args.dead_letter_dir,
+        dead_letter_dir=args.dead_letter_dir, mor_dedup=mor_dedup,
     )
     wall = time.perf_counter() - t0
     n_events = events.count()
@@ -189,6 +195,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--buckets", type=int, default=32)
     p.add_argument("--mode", choices=["cow", "mor"], default="cow")
     p.add_argument("--compact-every", type=int, default=None)
+    p.add_argument("--mor-dedup", choices=["auto", "agg", "filter", "none"],
+                   default="auto",
+                   help="MOR winner strategy: auto (supersede-ratio policy), "
+                        "agg (per-key max_by), filter (column-pruned winner "
+                        "broadcast — right for parquet/column-prunable logs "
+                        "with KB pages), none (append-all)")
     p.add_argument("--warmup", action="store_true",
                    help="untimed small replay first (JIT + python-worker startup)")
     p.add_argument("--dead-letter-dir", default=None,

@@ -82,7 +82,12 @@ def run_level(cores: int, log_dir: str, mode: str, body_repeat: int) -> dict:
             "--mode", mode, "--master", f"local[{cores}]", "--warmup",
         ]
         if mode == "mor":
-            cmd += ["--compact-every", "4"]
+            # winner FILTER, explicitly: the log is parquet, so the pruned
+            # winners pass reads 3 columns and payloads never shuffle —
+            # the strategy built for column-prunable sources (measured
+            # fastest from-log at both core counts; the supersede-ratio
+            # auto policy targets sources without column pruning)
+            cmd += ["--compact-every", "4", "--mor-dedup", "filter"]
         return _cli(cmd)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
