@@ -443,24 +443,28 @@ class LakeTable:
             base_pruned = base_hot.select(key, "_ts", "_seq").join(
                 F.broadcast(dkeys), F.col(key) == F.col("_dk"), "left_semi")
             pruned = pruned.unionByName(base_pruned)
-        winners = (
+        winners_q = (
             pruned.withColumn("_ord", ord_expr)
             .groupBy(key, "_ord")
             .agg(F.count("*").alias("_cnt"))
             .groupBy(F.col(key).alias("_wk"))
             .agg(F.max("_ord").alias("_word"),
                  F.max_by("_cnt", "_ord").alias("_wties"))
-            # materialize once (small: O(delta keys) x 3 cols) — the tie
-            # probe and the broadcast below both read it without
-            # recomputing the pruned scan + aggs
-            .localCheckpoint(eager=True)
         )
-        # Tie probe: one tiny job over the checkpointed winners. Ties
-        # (equal (_ts,_seq) = re-delivered copies of the same event) exist
-        # only under at-least-once re-delivery — almost never. The common
-        # case then resolves in a SINGLE pass over the full rows
-        # (broadcast join + filter, no second branch, no dedup shuffle).
-        has_ties = winners.filter(F.col("_wties") > 1).limit(1).count() > 0
+        # ONE job: pull the winners to the driver (O(delta keys) x 3 cols
+        # — the same rows a broadcast would ship there anyway; Arrow
+        # columnar both ways, no per-row Python) and derive the tie
+        # answer locally. This replaces the previous three
+        # driver-synchronous steps (eager localCheckpoint job + tie-probe
+        # job + broadcast build) — per-commit serial time that executor
+        # count cannot shrink, i.e. exactly what caps N->4N scaling at
+        # micro-batch cadence. Ties (equal (_ts,_seq) = re-delivered
+        # copies of the same event) exist only under at-least-once
+        # re-delivery — almost never; the common case then resolves in a
+        # SINGLE pass over the full rows (broadcast join + filter, no
+        # second branch, no dedup shuffle).
+        winners_pdf = winners_q.toPandas()
+        has_ties = bool((winners_pdf["_wties"] > 1).any())
         if has_ties:
             from pyspark.sql import Window
 
@@ -471,7 +475,14 @@ class LakeTable:
                 .drop("_rn", "_ord")
             )
             return base_cold.unionByName(resolved_hot)
-        j = union_hot.join(F.broadcast(winners.drop("_wties")),
+        winners = self.spark.createDataFrame(
+            winners_pdf[["_wk", "_word"]],
+            T.StructType([
+                T.StructField("_wk", winners_q.schema["_wk"].dataType),
+                T.StructField("_word", winners_q.schema["_word"].dataType),
+            ]),
+        )
+        j = union_hot.join(F.broadcast(winners),
                            F.col(key) == F.col("_wk"), "left")
         # key untouched by any delta -> no winner row -> passes through;
         # winners stream through map-side with zero extra exchange
@@ -561,20 +572,24 @@ class LakeTable:
         new_schema = merge_schemas(T.StructType.fromJson(m["schema"]), df.schema)
         version = m["version"] + 1
         typ = {f.name: f.dataType for f in new_schema.fields}
-        full = df
+        src_types = dict(zip(df.columns, (f.dataType for f in df.schema.fields)))
+        conformed = []
         for c in new_schema.fieldNames():
-            if c not in df.columns:
-                full = full.withColumn(c, F.lit(None).cast(typ[c]))
-            elif full.schema[c].dataType != typ[c]:
+            if c not in src_types:
+                conformed.append(F.lit(None).cast(typ[c]).alias(c))
+            elif src_types[c] != typ[c]:
                 # e.g. an all-null column arriving as NullType/boolean from
                 # pandas inference — conform to the declared type
-                full = full.withColumn(c, F.col(c).cast(typ[c]))
-        full = (
-            full.select(*new_schema.fieldNames())
-            .withColumn("_seq", F.lit(-1).cast("long"))
-            .withColumn("_ts", F.col("warc_ts") if "warc_ts" in df.columns else F.lit(None).cast("timestamp"))
-            .withColumn("_deleted", F.lit(False))
-            .withColumn("_bucket", self.bucket_expr(F.col(key), m["n_buckets"]))
+                conformed.append(F.col(c).cast(typ[c]).alias(c))
+            else:
+                conformed.append(F.col(c))
+        full = df.select(  # one projection (see merge() note)
+            *conformed,
+            F.lit(-1).cast("long").alias("_seq"),
+            (F.col("warc_ts") if "warc_ts" in df.columns
+             else F.lit(None).cast("timestamp")).alias("_ts"),
+            F.lit(False).alias("_deleted"),
+            self.bucket_expr(F.col(key), m["n_buckets"]).alias("_bucket"),
         )
         files = self._write_snapshot(full.repartition(m["n_buckets"], "_bucket"), version)
         new_rows = self._scan_new_file_rows(files)
@@ -643,14 +658,25 @@ class LakeTable:
         all_cols = new_schema.fieldNames()
         typ = {f.name: f.dataType for f in new_schema.fields}
 
-        src = updates
+        # ONE projection, not a withColumn chain: every stacked withColumn
+        # re-runs analysis over the growing plan — at micro-batch cadence
+        # the per-commit Catalyst time is a driver-side serial term that
+        # caps scaling (it does not shrink with executor count)
+        src_types = dict(zip(updates.columns,
+                             (f.dataType for f in updates.schema.fields)))
+        conformed = []
         for c in all_cols:
-            if c not in src.columns:
-                src = src.withColumn(c, F.lit(None).cast(typ[c]))
-            elif src.schema[c].dataType != typ[c]:
+            if c not in src_types:
+                conformed.append(F.lit(None).cast(typ[c]).alias(c))
+            elif src_types[c] != typ[c]:
                 # e.g. an all-null (NullType) column in a delete-only batch
-                src = src.withColumn(c, F.col(c).cast(typ[c]))
-        src = src.withColumn("_bucket", self.bucket_expr(F.col(key), n_buckets))
+                conformed.append(F.col(c).cast(typ[c]).alias(c))
+            else:
+                conformed.append(F.col(c))
+        src = updates.select(
+            *conformed, "event_seq", "op",
+            self.bucket_expr(F.col(key), n_buckets).alias("_bucket"),
+        )
 
         if mode == "mor":
             # no persist: the write pass streams source->UDF->parquet once,
@@ -847,11 +873,12 @@ class LakeTable:
         ties regardless)."""
         extra = dict(extra_metrics or {})
         version = m["version"] + 1
-        out = (
-            src.withColumn("_seq", F.col("event_seq"))
-            .withColumn("_ts", F.col("warc_ts"))
-            .withColumn("_deleted", F.col("op") == "delete")
-            .select(*all_cols, "_seq", "_ts", "_deleted", "_bucket")
+        out = src.select(
+            *all_cols,
+            F.col("event_seq").alias("_seq"),
+            F.col("warc_ts").alias("_ts"),
+            (F.col("op") == "delete").alias("_deleted"),
+            "_bucket",
         )
         # metrics piggyback on the write job itself (Observation fills when
         # the action runs) — a separate metrics pass was a whole extra job

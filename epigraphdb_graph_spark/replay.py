@@ -165,15 +165,17 @@ def replay(
                 base = type(base)([f for f in base.fields if f.name != "lang"])
         table = LakeTable.create(spark, table_path, base, key="url", n_buckets=n_buckets)
 
-    # one column-pruned pass yields the batch-split bounds AND the
-    # supersede stats the auto MOR policy needs — no extra job
-    bounds = events.agg(
-        F.min("event_seq").alias("lo"), F.max("event_seq").alias("hi"),
-        F.count("*").alias("n"), F.approx_count_distinct("url").alias("k"),
-    ).first()
+    # one column-pruned pass yields the batch-split bounds AND (only when
+    # the auto policy needs them) the supersede stats — no extra job
+    need_stats = mode == "mor" and mor_dedup == "auto"
+    aggs = [F.min("event_seq").alias("lo"), F.max("event_seq").alias("hi")]
+    if need_stats:
+        aggs += [F.count("*").alias("n"),
+                 F.approx_count_distinct("url").alias("k")]
+    bounds = events.agg(*aggs).first()
     if bounds["lo"] is None:
         return []
-    if mode == "mor" and mor_dedup == "auto":
+    if need_stats:
         # one whole-log decision (per-batch ratios track the log's at this
         # generator's stationary key mix; a real tailer decides per batch)
         mor_dedup = choose_mor_dedup(events, stats=(bounds["n"], bounds["k"]))
