@@ -1588,6 +1588,45 @@ def q56(spark, sf):
     return out.select("doc_id", F.length("text").cast("bigint").alias("text_len"))
 
 
+@_q("q57_image_header_probe", """
+SELECT doc_id AS id,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+       CAST(doc_id % 640 + 16 AS INT) AS width,
+       CAST((doc_id * 7) % 480 + 16 AS INT) AS height
+FROM documents WHERE doc_id < 200
+""")
+def q57(spark, sf):
+    """REAL image decode at the container level (round-2 de-stub item):
+    spec-valid PNG / JPEG / GIF byte streams are synthesized in an Arrow
+    batch step with formula-determined dimensions (PNG gets a genuine
+    zlib IDAT + CRCs), then functions/multimodal.parse_image_header
+    recovers (format, width, height) from the BYTES alone — PNG IHDR,
+    JPEG SOFn marker walk, GIF screen descriptor; no codec library. The
+    oracle recomputes the dimension formula, so equality certifies the
+    build->parse byte round-trip for all three container layouts."""
+    import pandas as pd
+
+    from epigraphdb_graph_spark.functions.multimodal import (
+        make_gif, make_jpeg, make_png, probe_media)
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+
+    def synth(batches):
+        makers = {0: make_png, 1: make_jpeg, 2: make_gif}
+        for pdf in batches:
+            ids = pdf["doc_id"].astype(int)
+            yield pd.DataFrame({
+                "id": ids,
+                "payload": [
+                    makers[i % 3](i % 640 + 16, i * 7 % 480 + 16)
+                    for i in ids
+                ],
+            })
+
+    media = d.select("doc_id").mapInPandas(synth, "id long, payload binary")
+    return probe_media(media).select("id", "format", "width", "height")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

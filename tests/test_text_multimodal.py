@@ -8,6 +8,11 @@ from pyspark.sql import functions as F
 from epigraphdb_graph_spark.functions.multimodal import (
     _decode_image_stub,
     extract_features,
+    make_gif,
+    make_jpeg,
+    make_png,
+    parse_image_header,
+    probe_media,
     synthesize_media,
 )
 from epigraphdb_graph_spark.functions.text import (
@@ -78,3 +83,70 @@ def test_multimodal_schema_stable(spark):
     media = synthesize_media(spark, 10)
     feats = extract_features(media)
     assert [f.name for f in feats.schema.fields] == ["id", "kind", "n_bytes", "feature"]
+
+
+def test_parse_image_header_round_trips_all_formats():
+    """Real container parsing: dimensions recovered from the bytes alone
+    for every builder, across edge sizes."""
+    for w, h in ((1, 1), (16, 480), (641, 16), (1920, 1080), (65535, 3)):
+        assert parse_image_header(make_png(w, h)) == ("png", w, h)
+        assert parse_image_header(make_jpeg(w, h)) == ("jpeg", w, h)
+        if w <= 65535 and h <= 65535:
+            assert parse_image_header(make_gif(w, h)) == ("gif", w, h)
+
+
+def test_parse_image_header_png_is_spec_valid():
+    """The synthesized PNG is not just parser-compatible: its chunk CRCs
+    and zlib IDAT verify independently."""
+    import struct
+    import zlib
+
+    p = make_png(23, 7)
+    assert p[:8] == b"\x89PNG\r\n\x1a\n"
+    i, chunks = 8, []
+    while i < len(p):
+        (length,) = struct.unpack(">I", p[i:i + 4])
+        tag = p[i + 4:i + 8]
+        body = p[i + 8:i + 8 + length]
+        (crc,) = struct.unpack(">I", p[i + 8 + length:i + 12 + length])
+        assert crc == zlib.crc32(tag + body) & 0xFFFFFFFF
+        chunks.append((tag, body))
+        i += 12 + length
+    assert [t for t, _ in chunks] == [b"IHDR", b"IDAT", b"IEND"]
+    raster = zlib.decompress(dict(chunks)[b"IDAT"])
+    assert len(raster) == (23 + 1) * 7  # filter byte + pixels per scanline
+
+
+def test_parse_image_header_jpeg_skips_leading_segments():
+    """The SOFn walk must skip APPn/COM/DQT segments before the frame."""
+    img = make_jpeg(300, 200)
+    # splice an extra COM segment after APP0 (SOI 2 + APP0 marker 2 +
+    # APP0 length-field+body 16 = offset 20)
+    com = b"\xff\xfe\x00\x0chello jpeg"
+    spliced = img[:20] + com + img[20:]
+    assert parse_image_header(spliced) == ("jpeg", 300, 200)
+
+
+def test_parse_image_header_rejects_garbage_and_truncation():
+    assert parse_image_header(None) is None
+    assert parse_image_header(b"not an image at all") is None
+    assert parse_image_header(make_png(5, 5)[:15]) is None   # truncated IHDR
+    assert parse_image_header(b"\xff\xd8\x00\x00\x00\x00\x00\x00\x00\x00") is None
+
+
+def test_probe_media_over_spark(spark):
+    """Arrow-batched probe: mixed real formats + one garbage payload ->
+    typed columns with nulls for the unparseable row."""
+    rows = [
+        (0, make_png(64, 32)),
+        (1, make_jpeg(640, 480)),
+        (2, make_gif(13, 11)),
+        (3, b"\x00\x01garbage"),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r["id"]: r for r in probe_media(df, batch_rows=2).collect()}
+    assert (got[0]["format"], got[0]["width"], got[0]["height"]) == ("png", 64, 32)
+    assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("jpeg", 640, 480)
+    assert (got[2]["format"], got[2]["width"], got[2]["height"]) == ("gif", 13, 11)
+    assert got[3]["format"] is None and got[3]["width"] is None
+    assert got[3]["n_bytes"] == 9
