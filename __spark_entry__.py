@@ -1627,6 +1627,96 @@ def q57(spark, sf):
     return probe_media(media).select("id", "format", "width", "height")
 
 
+def _q58_centroids():
+    from epigraphdb_graph_spark.operators.similarity import lcg_centroids
+
+    return lcg_centroids(64, 8, scale=500)
+
+
+def _q58_sql() -> str:
+    cents = _q58_centroids()
+    vals = ", ".join(
+        f"({c}, [{', '.join(str(v) for v in row)}])"
+        for c, row in enumerate(cents)
+    )
+    return f"""
+WITH cent(cell, cv) AS (VALUES {vals}),
+qq AS (
+  SELECT list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000) AS BIGINT)) AS q,
+         embedding AS e0
+  FROM embeddings WHERE vec_id = 0
+),
+probe AS (
+  SELECT cell FROM (
+    SELECT cell,
+           list_sum(list_transform(range(1, 65), i -> (q[i] - cv[i]) * (q[i] - cv[i]))) * 8 + cell AS packed
+    FROM qq, cent) ORDER BY packed LIMIT 2
+),
+assign AS (
+  SELECT vec_id,
+         CAST(MIN(list_sum(list_transform(range(1, 65), i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))) * 8 + cell) % 8 AS INT) AS cell
+  FROM (SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
+        FROM embeddings), cent
+  GROUP BY vec_id
+)
+SELECT vec_id, label, sim_milli FROM (
+  SELECT e.vec_id, e.label,
+         CAST(floor(list_cosine_similarity(e.embedding::DOUBLE[], (SELECT e0 FROM qq)::DOUBLE[]) * 10000) AS BIGINT) AS sim_milli,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(floor(list_cosine_similarity(e.embedding::DOUBLE[], (SELECT e0 FROM qq)::DOUBLE[]) * 10000) AS BIGINT) DESC,
+                    e.vec_id ASC) AS rn
+  FROM embeddings e JOIN assign a USING (vec_id)
+  WHERE e.vec_id <> 0 AND a.cell IN (SELECT cell FROM probe)) x
+WHERE rn <= 10
+"""
+
+
+@_q("q58_ivf_ann_topk", _q58_sql())
+def q58(spark, sf):
+    """IVF-Flat approximate top-k (the coarse-quantizer ANN scale path
+    complementing the q39 LSH): deterministic integer LCG centroids,
+    integer-exact squared-L2 cell assignment (floor-quantized vectors —
+    bit-identical in any engine), query probes its 2 nearest cells,
+    brute-force cosine inside the probed cells only. At scale the
+    assigned table is stored partitioned by cell, so a query scans
+    n_probe/k of the data (operators/similarity.py ivf_assign/ivf_topk).
+    The oracle recomputes centroids-from-literals, assignment, probing,
+    and the in-cell top-k — equality certifies the whole index path."""
+    from epigraphdb_graph_spark.operators.similarity import (
+        ivf_assign, ivf_probe_cells)
+
+    e = _t(spark, sf, "embeddings")
+    cents = _q58_centroids()
+    q0 = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("e0"))
+    qvec = [float(x) for x in q0.first()["e0"]]
+    cells = ivf_probe_cells(qvec, cents, n_probe=2)
+    cand = (
+        ivf_assign(e, cents)
+        .filter(F.col("_ivf_cell").isin(cells) & (F.col("vec_id") != 0))
+        .crossJoin(F.broadcast(q0))
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    cos = dot(F.col("embedding"), F.col("e0")) / (
+        F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(dot(F.col("e0"), F.col("e0")))
+    )
+    w = W.orderBy(F.desc("sim_milli"), F.asc("vec_id"))
+    return (
+        cand.select("vec_id", "label",
+                    F.floor(cos * 10000).cast("bigint").alias("sim_milli"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 10").drop("rn")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -185,6 +185,104 @@ def cosine_topk_lsh(
     return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def lcg_centroids(dim: int, k: int, *, scale: int = 500) -> list[list[int]]:
+    """Deterministic *integer* IVF centroids from the same pure-arithmetic
+    LCG family as :func:`lcg_planes_int` (salt 7 decorrelates them from
+    the LSH planes): component in [-1024, 1023] * ``scale`` — pick scale
+    so centroids span the quantized embedding range (|v|<=1 vectors
+    quantize to +-10^6; scale 500 spans +-5.1*10^5). Integer centroids +
+    floor-quantized vectors make assignment exact int64 arithmetic —
+    bit-identical in any engine (the q58 oracle recomputes it)."""
+    out = []
+    for c in range(k):
+        row = []
+        for j in range(dim):
+            m = (1103515245 * (c * dim + j + 7) + 12345) % 2147483648
+            row.append(((m % 2048) - 1024) * scale)
+        out.append(row)
+    return out
+
+
+def _ivf_packed_dists(vec_col, centroids: list[list[int]]):
+    """Array of squared-L2 distances to each centroid, each packed as
+    dist * k + cell — array_min of it is the (min dist, min cell)
+    lexicographic winner, a deterministic argmin with no struct compare.
+    Magnitude: dist <= dim * (2.1e6)^2; safe in int64 for dim <= ~10^6/k."""
+    k = len(centroids)
+    q = F.transform(
+        vec_col, lambda x: F.floor(x.cast("double") * F.lit(float(_QUANT))).cast("long")
+    )
+    packed = []
+    for c, cent in enumerate(centroids):
+        arr = F.array(*[F.lit(int(w)).cast("long") for w in cent])
+        d = F.aggregate(
+            F.zip_with(q, arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        packed.append(d * k + c)
+    return F.array(*packed)
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[int]],
+    *,
+    vec_col: str = "embedding",
+    cell_col: str = "_ivf_cell",
+) -> DataFrame:
+    """Add the IVF cell id (nearest centroid by squared L2, ties to the
+    lower cell id). One scan, pure JVM expressions, no shuffle — at scale
+    the assigned table is written partitioned/clustered by cell so a
+    query touches n_probe cells instead of everything (the IVF analog of
+    the LSH bucket layout).
+
+    Contract: every centroid must have the embedding dimension —
+    ``zip_with`` null-pads a length mismatch, which nulls the whole
+    distance and the cell id (surfacing as an unassignable row, not a
+    wrong assignment)."""
+    packed = _ivf_packed_dists(F.col(vec_col), centroids)
+    return df.withColumn(
+        cell_col, (F.array_min(packed) % len(centroids)).cast("int"))
+
+
+def ivf_probe_cells(
+    vec: list[float], centroids: list[list[int]], *, n_probe: int = 2
+) -> list[int]:
+    """Driver-side twin of :func:`ivf_assign`'s distance math for query
+    vectors: the ``n_probe`` nearest cells, same floor-quantized integer
+    arithmetic, guaranteed to agree with the executor-side assignment."""
+    import math
+
+    k = len(centroids)
+    q = [int(math.floor(v * _QUANT)) for v in vec]
+    packed = sorted(
+        sum((a - b) * (a - b) for a, b in zip(q, cent)) * k + c
+        for c, cent in enumerate(centroids)
+    )
+    return [p % k for p in packed[:n_probe]]
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[int]],
+    *,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k by cosine: score only vectors whose cell is
+    among the query's ``n_probe`` nearest centroids. With the table
+    pre-partitioned by cell this reads n_probe/k of the data; recall is
+    tuned by n_probe exactly as in FAISS-style IVF-Flat."""
+    cells = ivf_probe_cells(query_vec, centroids, n_probe=n_probe)
+    cand = ivf_assign(df, centroids, vec_col=vec_col).filter(
+        F.col("_ivf_cell").isin(cells))
+    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     *,

@@ -326,3 +326,47 @@ def test_cosine_neardup_bucket_cap_star_degradation(spark):
                                       bucket_cap=1024).toPandas()
     assert set(zip(exhaustive["id_a"], exhaustive["id_b"])) == {
         (a, b) for a in range(4) for b in range(a + 1, 4)}
+
+
+def test_ivf_assignment_matches_python_twin(spark, embs):
+    """Executor-side integer-exact cell assignment agrees with the
+    driver-side twin row for row (the cross-engine determinism the q58
+    oracle relies on)."""
+    import math
+
+    from epigraphdb_graph_spark.operators.similarity import (
+        _QUANT, ivf_assign, lcg_centroids)
+
+    cents = lcg_centroids(64, 8, scale=500)
+    sub = embs.limit(100)
+    got = {r["vec_id"]: r["_ivf_cell"]
+           for r in ivf_assign(sub, cents).collect()}
+    for row in sub.collect():
+        q = [int(math.floor(float(x) * _QUANT)) for x in row["embedding"]]
+        packed = sorted(
+            sum((a - b) * (a - b) for a, b in zip(q, c)) * len(cents) + i
+            for i, c in enumerate(cents))
+        assert got[row["vec_id"]] == packed[0] % len(cents)
+
+
+def test_ivf_topk_probes_subset_and_finds_neighbors(spark, embs):
+    """IVF top-k scans only the probed cells (strictly fewer candidates
+    than the table) yet recalls a reasonable share of the exact top-10."""
+    from epigraphdb_graph_spark.operators.similarity import (
+        ivf_assign, ivf_probe_cells, ivf_topk, lcg_centroids)
+
+    cents = lcg_centroids(64, 8, scale=500)
+    qvec = [float(x) for x in
+            embs.filter(F.col("vec_id") == 7).first()["embedding"]]
+    cells = ivf_probe_cells(qvec, cents, n_probe=2)
+    assert len(cells) == 2 and len(set(cells)) == 2
+    n_cand = ivf_assign(embs, cents).filter(
+        F.col("_ivf_cell").isin(cells)).count()
+    assert 0 < n_cand < embs.count()
+
+    exact = set(
+        cosine_topk(embs, qvec, k=10).toPandas()["vec_id"])
+    approx = set(
+        ivf_topk(embs, qvec, cents, k=10, n_probe=2).toPandas()["vec_id"])
+    assert 7 in approx  # the query's own cell is always probed
+    assert len(exact & approx) / 10 >= 0.3
