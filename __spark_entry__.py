@@ -1627,6 +1627,43 @@ def q57(spark, sf):
     return probe_media(media).select("id", "format", "width", "height")
 
 
+@_q("q59_av_header_probe", """
+SELECT doc_id AS id,
+       CASE doc_id % 2 WHEN 0 THEN 'wav' ELSE 'mp4' END AS format,
+       CAST((doc_id * 37) % 600000 + 1000 AS BIGINT) AS duration_ms
+FROM documents WHERE doc_id < 120
+""")
+def q59(spark, sf):
+    """Audio/video container probing (parse_av_header): spec-valid PCM
+    WAV (RIFF chunk walk, duration from data size / byte rate) and ISO
+    BMFF MP4 (box walk to moov/mvhd, duration from timescale) bytes are
+    synthesized with formula-determined durations, then the duration is
+    recovered from the BYTES alone — the duration_ms leg of the media
+    metadata schema, same round-trip proof shape as q57."""
+    import pandas as pd
+
+    from epigraphdb_graph_spark.functions.multimodal import (
+        make_mp4, make_wav, probe_media)
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 120)
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype(int)
+            payloads = []
+            for i in ids:
+                dur = (i * 37) % 600000 + 1000
+                if i % 2 == 0:
+                    # 8 samples/ms at 8 kHz -> exact duration recovery
+                    payloads.append(make_wav(8000, dur * 8))
+                else:
+                    payloads.append(make_mp4(dur))
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    media = d.select("doc_id").mapInPandas(synth, "id long, payload binary")
+    return probe_media(media).select("id", "format", "duration_ms")
+
+
 def _q58_centroids():
     from epigraphdb_graph_spark.operators.similarity import lcg_centroids
 

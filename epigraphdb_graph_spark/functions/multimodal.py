@@ -63,6 +63,7 @@ PROBE_SCHEMA = T.StructType([
     T.StructField("format", T.StringType(), True),
     T.StructField("width", T.IntegerType(), True),
     T.StructField("height", T.IntegerType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
     T.StructField("n_bytes", T.LongType(), True),
 ])
 
@@ -126,6 +127,92 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
     return None
 
 
+def parse_av_header(payload: bytes) -> tuple[str, int] | None:
+    """(format, duration_ms) from raw audio/video container bytes — WAV
+    (RIFF chunk walk: fmt's byte-rate + data chunk size) and MP4 (box walk
+    to moov/mvhd: timescale + duration). Same REAL-parsing tier as
+    :func:`parse_image_header`; codec payloads stay opaque."""
+    if payload is None or len(payload) < 16:
+        return None
+    p = bytes(payload)
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        i, byte_rate, data_size = 12, None, None
+        n = len(p)
+        while i + 8 <= n:
+            tag = p[i:i + 4]
+            size = int.from_bytes(p[i + 4:i + 8], "little")
+            if tag == b"fmt " and i + 16 + 12 <= n:
+                byte_rate = int.from_bytes(p[i + 16:i + 20], "little")
+            elif tag == b"data":
+                data_size = size
+            i += 8 + size + (size & 1)  # chunks are word-aligned
+        if byte_rate and data_size is not None:
+            return ("wav", data_size * 1000 // byte_rate)
+        return None
+    if p[4:8] == b"ftyp":
+        # ISO BMFF box walk at the top level; mvhd is moov's first child
+        # in every real muxer's output, so scan for it inside moov's span
+        i, n = 0, len(p)
+        while i + 8 <= n:
+            size = int.from_bytes(p[i:i + 4], "big")
+            tag = p[i + 4:i + 8]
+            if size < 8:
+                return None
+            if tag == b"moov":
+                j, end = i + 8, min(i + size, n)
+                while j + 8 <= end:
+                    bsize = int.from_bytes(p[j:j + 4], "big")
+                    btag = p[j + 4:j + 8]
+                    if bsize < 8:
+                        return None
+                    if btag == b"mvhd" and j + 8 + 24 <= n:
+                        version = p[j + 8]
+                        if version == 1:  # 64-bit times
+                            ts = int.from_bytes(p[j + 28:j + 32], "big")
+                            dur = int.from_bytes(p[j + 32:j + 40], "big")
+                        else:
+                            ts = int.from_bytes(p[j + 20:j + 24], "big")
+                            dur = int.from_bytes(p[j + 24:j + 28], "big")
+                        if ts == 0:
+                            return None
+                        return ("mp4", dur * 1000 // ts)
+                    j += bsize
+                return None
+            i += size
+    return None
+
+
+def make_wav(sample_rate: int, n_samples: int, *, channels: int = 1,
+             bits: int = 16) -> bytes:
+    """A real, spec-valid PCM WAV of ``n_samples`` silence — stdlib only."""
+    import struct
+
+    block = channels * bits // 8
+    data = b"\x00" * (n_samples * block)
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * block, block, bits)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def make_mp4(duration_ms: int, *, timescale: int = 1000) -> bytes:
+    """Minimal ISO BMFF stream: ftyp + moov{mvhd(v0)} with the given
+    duration — a header-probe target, not a playable movie."""
+    import struct
+
+    def box(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + tag + body
+
+    mvhd = (b"\x00\x00\x00\x00"                      # version 0 + flags
+            + struct.pack(">II", 0, 0)               # ctime, mtime
+            + struct.pack(">II", timescale, duration_ms * timescale // 1000)
+            + b"\x00" * 80)                          # rate..next_track_id
+    return (box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+            + box(b"moov", box(b"mvhd", mvhd)))
+
+
 def make_png(width: int, height: int) -> bytes:
     """A real, spec-valid grayscale PNG of the given dimensions (zlib
     IDAT of zero scanlines, correct CRCs) — stdlib only."""
@@ -171,16 +258,26 @@ def probe_media(media: DataFrame, *, batch_rows: int = 256) -> DataFrame:
     batches — real container probing (see :func:`parse_image_header`),
     unknown formats surface as nulls for the quarantine/audit path."""
 
+    def probe_one(pl):
+        img = parse_image_header(pl)
+        if img is not None:
+            return (img[0], img[1], img[2], None)
+        av = parse_av_header(pl)
+        if av is not None:
+            return (av[0], None, None, av[1])
+        return (None, None, None, None)
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for start in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[start:start + batch_rows]
-                parsed = chunk["payload"].map(parse_image_header)
+                parsed = chunk["payload"].map(probe_one)
                 yield pd.DataFrame({
                     "id": chunk["id"],
-                    "format": parsed.map(lambda r: r[0] if r else None),
-                    "width": parsed.map(lambda r: r[1] if r else None),
-                    "height": parsed.map(lambda r: r[2] if r else None),
+                    "format": parsed.map(lambda r: r[0]),
+                    "width": parsed.map(lambda r: r[1]),
+                    "height": parsed.map(lambda r: r[2]),
+                    "duration_ms": parsed.map(lambda r: r[3]),
                     "n_bytes": chunk["payload"].map(
                         lambda pl: len(pl) if pl is not None else 0),
                 })

@@ -150,3 +150,38 @@ def test_probe_media_over_spark(spark):
     assert (got[2]["format"], got[2]["width"], got[2]["height"]) == ("gif", 13, 11)
     assert got[3]["format"] is None and got[3]["width"] is None
     assert got[3]["n_bytes"] == 9
+
+
+def test_parse_av_header_wav_and_mp4():
+    from epigraphdb_graph_spark.functions.multimodal import (
+        make_mp4, make_wav, parse_av_header)
+
+    # WAV: duration = data bytes / byte-rate, exact at sample multiples
+    assert parse_av_header(make_wav(8000, 8000)) == ("wav", 1000)
+    assert parse_av_header(make_wav(44100, 44100 * 3,
+                                    channels=2)) == ("wav", 3000)
+    # odd data size exercises the word-alignment skip
+    w = make_wav(8000, 1001)
+    assert parse_av_header(w) == ("wav", 1001 * 2 * 1000 // 16000)
+    # MP4 mvhd v0
+    assert parse_av_header(make_mp4(65_432)) == ("mp4", 65_432)
+    assert parse_av_header(make_mp4(250, timescale=90000)) == ("mp4", 250)
+    # garbage / truncation
+    assert parse_av_header(b"RIFFxxxxNOPE") is None
+    assert parse_av_header(make_mp4(1000)[:12]) is None
+    assert parse_av_header(None) is None
+
+
+def test_probe_media_covers_all_five_formats(spark):
+    from epigraphdb_graph_spark.functions.multimodal import make_mp4, make_wav
+
+    rows = [
+        (0, make_png(8, 9)),
+        (1, make_wav(8000, 16000)),
+        (2, make_mp4(1234)),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r["id"]: r for r in probe_media(df).collect()}
+    assert (got[0]["format"], got[0]["width"], got[0]["duration_ms"]) == ("png", 8, None)
+    assert (got[1]["format"], got[1]["duration_ms"]) == ("wav", 2000)
+    assert (got[2]["format"], got[2]["duration_ms"]) == ("mp4", 1234)
