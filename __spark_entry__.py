@@ -1627,6 +1627,83 @@ def q57(spark, sf):
     return probe_media(media).select("id", "format", "width", "height")
 
 
+@_q("q61_asof_join", """
+WITH c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+v AS (
+  SELECT event_id AS view_event_id, user_id, ts FROM events
+  WHERE event_type = 'view'
+)
+SELECT c.event_id, c.user_id, v.view_event_id,
+       CAST(date_diff('second', v.ts, c.ts) AS BIGINT) AS lag_s
+FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts
+""")
+def q61(spark, sf):
+    """Backward as-of join (operators/asof.py): each click event joined
+    to the user's most recent prior-or-simultaneous view. Implemented as
+    the streaming-merge form — union tagged + ONE key shuffle + running
+    ``last(ignorenulls)`` window — never the O(matches)-explosion range
+    join. The oracle is DuckDB's native ASOF LEFT JOIN; equality
+    certifies the operator against an independent as-of implementation."""
+    from epigraphdb_graph_spark.operators.asof import asof_join
+
+    e = _t(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts",
+        F.col("event_id").alias("view_event_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("_vseq"),  # equal-ts tiebreak
+    )
+    j = asof_join(clicks, views, on="user_id",
+                  right_seq="_vseq", suffix="")
+    return j.select(
+        "event_id", "user_id", "view_event_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp("view_ts"))
+        .cast("bigint").alias("lag_s"),
+    )
+
+
+@_q("q60_session_windows", """
+WITH m AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+       CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS span_s
+FROM s GROUP BY user_id, sid
+""")
+def q60(spark, sf):
+    """Session windows (St5 family beyond tumbling): per-user sessions
+    with a 30-minute inactivity gap via Spark's native
+    ``F.session_window`` — the same operator a streaming query uses with
+    a watermark, here batch-checkable. Spark's semantics (a session
+    extends while the next event starts before previous-ts + gap, i.e. a
+    gap >= 30min opens a new session) are mirrored in the oracle as a
+    lag/cumsum gaps-and-islands rewrite."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.min("ts").alias("session_start"),
+             F.count("*").alias("n_events"),
+             (F.unix_timestamp(F.max("ts"))
+              - F.unix_timestamp(F.min("ts"))).alias("span_s"))
+        .select("user_id", "session_start", "n_events", "span_s")
+    )
+
+
 @_q("q59_av_header_probe", """
 SELECT doc_id AS id,
        CASE doc_id % 2 WHEN 0 THEN 'wav' ELSE 'mp4' END AS format,

@@ -370,3 +370,31 @@ def test_ivf_topk_probes_subset_and_finds_neighbors(spark, embs):
         ivf_topk(embs, qvec, cents, k=10, n_probe=2).toPandas()["vec_id"])
     assert 7 in approx  # the query's own cell is always probed
     assert len(exact & approx) / 10 >= 0.3
+
+
+# ------------------------------------------------------------------- as-of
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right row with ts <= left ts per key;
+    left-outer nulls before any right row; equal-ts rows match
+    (inclusive); equal-ts right ties break by right_seq (highest wins)."""
+    import datetime as dt
+
+    from epigraphdb_graph_spark.operators.asof import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [("a", t(5), 1), ("a", t(10), 2), ("a", t(1), 3), ("b", t(7), 4)],
+        "k string, ts timestamp, lid int")
+    right = spark.createDataFrame(
+        [("a", t(2), 100, 1), ("a", t(5), 200, 2), ("a", t(5), 201, 3),
+         ("a", t(9), 300, 4), ("c", t(1), 400, 5)],
+        "k string, ts timestamp, rv int, seq int")
+
+    out = {r["lid"]: r for r in asof_join(
+        left, right, on="k", right_seq="seq").collect()}
+    assert out[3]["rv_r"] is None          # t=1: before any right row
+    assert out[1]["rv_r"] == 201           # t=5: inclusive, seq tiebreak
+    assert out[2]["rv_r"] == 300           # t=10: latest preceding (t=9)
+    assert out[4]["rv_r"] is None          # key b: no right rows at all
+    assert len(out) == 4                   # every left row exactly once
