@@ -960,7 +960,8 @@ class LakeTable:
 
     # ---------------------------------------------------------- change feed
     def changes(self, from_version: int,
-                to_version: int | None = None) -> DataFrame:
+                to_version: int | None = None,
+                *, update_images: str = "post") -> DataFrame:
         """Change-data-feed OUT of the lake (Iceberg changelog / Delta CDF
         analog): net per-key changes between two committed snapshots, for
         downstream incremental consumers.
@@ -968,6 +969,14 @@ class LakeTable:
         Returns ``_change_type`` (insert | update | delete) + the row
         image (new image for insert/update, last visible image for
         delete) with its ``_seq``/``_ts``.
+
+        ``update_images="both"`` emits Delta-CDF-style update pairs —
+        ``update_preimage`` (the old row image, old ``_seq``/``_ts``) and
+        ``update_postimage`` — instead of a single ``update`` row.
+        Differential consumers (incremental aggregate/materialized-view
+        maintenance) need the pre-image to RETRACT the old contribution;
+        replication consumers only need the post-image and keep the
+        default.
 
         Scale shape — **bucket-pruned diff**: data files are immutable and
         manifests record per-bucket file lists, so any bucket whose base
@@ -1045,10 +1054,35 @@ class LakeTable:
             F.when(n_present, F.col(f"n.{c}")).otherwise(F.col(f"o.{c}")).alias(c)
             for c in ("_seq", "_ts")
         ] + [is_delete.alias("_deleted")]
-        return (
+        if update_images not in ("post", "both"):
+            raise ValueError(f"update_images must be post|both, got {update_images!r}")
+        base = (
             j.select(ctype.alias("_change_type"), *image)
             .filter(F.col("_change_type").isNotNull())
         )
+        if update_images == "post":
+            return base
+        # CDF pairs: rename update -> update_postimage, add a preimage row
+        # per update carrying the OLD image with its OLD (_seq, _ts). Two
+        # passes over the diff join (the diff is bucket-pruned and
+        # O(changed keys); a cached single pass is not worth the pin).
+        post = base.withColumn(
+            "_change_type",
+            F.when(F.col("_change_type") == "update",
+                   F.lit("update_postimage")).otherwise(F.col("_change_type")),
+        )
+        pre = (
+            j.filter(ctype == "update")
+            .select(
+                F.lit("update_preimage").alias("_change_type"),
+                F.col("o._ok").alias(key),
+                *[F.col(f"o.{c}").alias(c) for c in payload_cols],
+                F.col("o._seq").alias("_seq"),
+                F.col("o._ts").alias("_ts"),
+                F.lit(False).alias("_deleted"),
+            )
+        )
+        return post.unionByName(pre)
 
     # ------------------------------------------------------------- evolution
     def evolve(self, new_columns: T.StructType) -> int:
