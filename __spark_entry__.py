@@ -1627,6 +1627,32 @@ def q57(spark, sf):
     return probe_media(media).select("id", "format", "width", "height")
 
 
+@_q("q62_range_join_bins", """
+WITH bands(lo, hi, band) AS (VALUES
+  (0.0, 5.0, 'low'), (5.0, 10.0, 'mid'), (10.0, 15.0, 'high'),
+  (15.0, 1000.0, 'xl'), (8.0, 12.0, 'promo'))
+SELECT e.event_id, b.band
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+""")
+def q62(spark, sf):
+    """Interval/range join through the bin-equi-join rewrite
+    (operators/ranges.py): ranges exploded into fixed-width bins,
+    equi-join on bin id + residual predicate — a hash join Catalyst can
+    shuffle/broadcast instead of the O(|F|x|R|) nested loop a pure
+    inequality join plans. Overlapping bands ('promo' straddles
+    mid/high) prove multi-match semantics. Oracle is the plain
+    inequality join."""
+    from epigraphdb_graph_spark.operators.ranges import bin_range_join
+
+    e = _t(spark, sf, "events").select("event_id", "value")
+    bands = spark.createDataFrame(
+        [(0.0, 5.0, "low"), (5.0, 10.0, "mid"), (10.0, 15.0, "high"),
+         (15.0, 1000.0, "xl"), (8.0, 12.0, "promo")],
+        "lo double, hi double, band string")
+    j = bin_range_join(e, bands, value_col="value", bin_width=5.0)
+    return j.select("event_id", "band")
+
+
 @_q("q61_asof_join", """
 WITH c AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'

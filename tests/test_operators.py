@@ -398,3 +398,29 @@ def test_asof_join_semantics(spark):
     assert out[2]["rv_r"] == 300           # t=10: latest preceding (t=9)
     assert out[4]["rv_r"] is None          # key b: no right rows at all
     assert len(out) == 4                   # every left row exactly once
+
+
+# -------------------------------------------------------------- range join
+
+def test_bin_range_join_semantics(spark):
+    """Bin-rewrite range join: exact [lo, hi) matching incl. boundary
+    values, overlapping ranges multi-match, left mode keeps misses."""
+    from epigraphdb_graph_spark.operators.ranges import bin_range_join
+
+    fact = spark.createDataFrame(
+        [(1, 0.0), (2, 4.999), (3, 5.0), (4, 9.0), (5, 42.0), (6, -1.0)],
+        "fid long, v double")
+    ranges = spark.createDataFrame(
+        [(0.0, 5.0, "a"), (5.0, 10.0, "b"), (8.0, 12.0, "c")],
+        "lo double, hi double, tag string")
+
+    got = (bin_range_join(fact, ranges, value_col="v", bin_width=3.0)
+           .groupBy("fid").agg(F.sort_array(F.collect_list("tag")).alias("t"))
+           .toPandas().set_index("fid")["t"].map(list).to_dict())
+    assert got == {1: ["a"], 2: ["a"], 3: ["b"], 4: ["b", "c"]}
+
+    left = bin_range_join(fact, ranges, value_col="v", bin_width=3.0,
+                          how="left").toPandas()
+    assert len(left) == 7  # 5 matches + 2 unmatched (42.0, -1.0)
+    miss = left[left["tag"].isna()]
+    assert sorted(miss["fid"]) == [5, 6]
