@@ -48,6 +48,11 @@ HEADLINE = [
     "q36_ann_cosine_topk",
     "q40_extraction_udf",
     "q41_simhash",
+    # round-3 operators
+    "q58_ivf_ann_topk",
+    "q60_session_windows",
+    "q61_asof_join",
+    "q62_range_join_bins",
 ]
 
 EVENTS_PER_SF = 5_000_000  # 500k change events at sf0.1

@@ -203,27 +203,6 @@ def lcg_centroids(dim: int, k: int, *, scale: int = 500) -> list[list[int]]:
     return out
 
 
-def _ivf_packed_dists(vec_col, centroids: list[list[int]]):
-    """Array of squared-L2 distances to each centroid, each packed as
-    dist * k + cell — array_min of it is the (min dist, min cell)
-    lexicographic winner, a deterministic argmin with no struct compare.
-    Magnitude: dist <= dim * (2.1e6)^2; safe in int64 for dim <= ~10^6/k."""
-    k = len(centroids)
-    q = F.transform(
-        vec_col, lambda x: F.floor(x.cast("double") * F.lit(float(_QUANT))).cast("long")
-    )
-    packed = []
-    for c, cent in enumerate(centroids):
-        arr = F.array(*[F.lit(int(w)).cast("long") for w in cent])
-        d = F.aggregate(
-            F.zip_with(q, arr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        packed.append(d * k + c)
-    return F.array(*packed)
-
-
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[int]],
@@ -237,13 +216,47 @@ def ivf_assign(
     query touches n_probe cells instead of everything (the IVF analog of
     the LSH bucket layout).
 
+    The centroid matrix travels as DATA (a broadcast one-row cross join
+    of ``array<array<long>>``), not as k*dim literal expressions: an
+    8x64 literal tree made Catalyst analysis + codegen the dominant cost
+    (~2.5s per plan compile) while this form is O(1) plan size — nested
+    higher-order functions iterate the matrix at runtime. Per element,
+    packed = dist * k + cell, so ``array_min`` is the (min dist, min
+    cell) lexicographic winner — a deterministic argmin. Magnitude:
+    dist <= dim * (2.1e6)^2; safe in int64 for dim <= ~10^6/k.
+
     Contract: every centroid must have the embedding dimension —
     ``zip_with`` null-pads a length mismatch, which nulls the whole
     distance and the cell id (surfacing as an unassignable row, not a
     wrong assignment)."""
-    packed = _ivf_packed_dists(F.col(vec_col), centroids)
-    return df.withColumn(
-        cell_col, (F.array_min(packed) % len(centroids)).cast("int"))
+    k = len(centroids)
+    spark = df.sparkSession
+    cent_df = spark.createDataFrame(
+        [([[int(w) for w in row] for row in centroids],)],
+        "_ivf_cents array<array<long>>",
+    )
+    qcol = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(_QUANT))).cast("long"),
+    )
+    packed = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda c: F.aggregate(
+            F.zip_with(
+                F.col("_ivf_q"),
+                F.element_at(F.col("_ivf_cents"), c + 1),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ) * k + c.cast("long"),
+    )
+    return (
+        df.crossJoin(F.broadcast(cent_df))
+        .withColumn("_ivf_q", qcol)
+        .withColumn(cell_col, (F.array_min(packed) % k).cast("int"))
+        .drop("_ivf_q", "_ivf_cents")
+    )
 
 
 def ivf_probe_cells(
