@@ -77,3 +77,38 @@ def salted_repartition(
     which achieves the same effect implicitly via map-side combine."""
     salted = with_salt(df, key_col, n_salts=n_salts, hot_keys=hot_keys)
     return salted.repartition(n_partitions, F.col(key_col), F.col("_salt")).drop("_salt")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    *,
+    hot_keys: list,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: the big/skewed ``left`` side salts its hot
+    keys across ``n_salts`` sub-keys; the ``right`` side REPLICATES its
+    hot-key rows once per salt (explode — cold rows get salt 0 only).
+    The join key becomes (key, salt), so one hot key's probe work spreads
+    over n_salts tasks instead of one straggler reducer.
+
+    This is the manual form of what AQE skew-join does adaptively at
+    runtime (session.py enables it); use it when the skew is KNOWN ahead
+    of plan time (detect_hot_keys on a sample) or when the join feeds a
+    stage AQE cannot re-balance (e.g. a downstream window over the same
+    key). Replication factor is n_salts x |hot right rows| — bounded by
+    choosing hot_keys narrowly, which detect_hot_keys' threshold does.
+
+    Supports inner and left joins (the salted left side is lossless:
+    every left row carries exactly one salt)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    l2 = with_salt(left, on, n_salts=n_salts, hot_keys=hot_keys)
+    replicas = F.when(
+        F.col(on).isin(hot_keys),
+        F.sequence(F.lit(0), F.lit(n_salts - 1)),
+    ).otherwise(F.array(F.lit(0)))
+    r2 = right.withColumn("_salt", F.explode(replicas))
+    return l2.join(r2, [on, "_salt"], how).drop("_salt")

@@ -78,3 +78,33 @@ def test_two_phase_agg_over_salt_equals_direct(spark):
     final = {r["domain"]: r["n"] for r in
              partial.groupBy("domain").agg(F.sum("pn").alias("n")).collect()}
     assert direct == final
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salted join must be result-identical to the plain join while
+    spreading each hot key across n_salts sub-keys."""
+    from epigraphdb_graph_spark.operators.skew import salted_join, with_salt
+
+    # skewed left: key 'hot' dominates; right: small dim with dup rows
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(500)] + [(f"k{i}", i) for i in range(50)],
+        "k string, lv int")
+    right = spark.createDataFrame(
+        [("hot", "H1"), ("hot", "H2"), ("k1", "A"), ("k2", "B"), ("zz", "Z")],
+        "k string, rv string")
+
+    for how in ("inner", "left"):
+        want = left.join(right, "k", how).toPandas() \
+            .sort_values(["k", "lv", "rv"], na_position="last") \
+            .reset_index(drop=True)
+        got = salted_join(left, right, "k", hot_keys=["hot"], n_salts=8,
+                          how=how).toPandas() \
+            .sort_values(["k", "lv", "rv"], na_position="last") \
+            .reset_index(drop=True)
+        assert got.equals(want), f"{how} join mismatch"
+
+    # the hot key really spreads: >1 distinct salt on the left side
+    salts = (with_salt(left, "k", n_salts=8, hot_keys=["hot"])
+             .filter(F.col("k") == "hot")
+             .select("_salt").distinct().count())
+    assert salts > 1

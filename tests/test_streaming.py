@@ -162,3 +162,70 @@ def test_tailer_heavy_pages_uses_winner_filter(spark, tmp_path):
     n_keys = table.read().count()
     assert delta_rows < 800  # fewer delta rows than raw events
     assert delta_rows >= n_keys
+
+
+def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
+    """Real readStream windowed aggregation (St5 streaming surface):
+    event-time tumbling windows under a watermark, append mode — every
+    window the final watermark has passed is emitted exactly once and
+    equals the batch recompute; open windows are withheld."""
+    from epigraphdb_graph_spark.streaming.windows import windowed_event_counts
+
+    # 8 partitions = contiguous event_seq (≈ event-time) slices, written
+    # as-is: the file source consumes them in order, so arrival respects
+    # event time within the 10-min jitter — inside the 30-min watermark
+    # horizon, the contract under which append output == batch recompute
+    # (a round-robin file layout would scatter early-window events into
+    # late micro-batches and the watermark would rightly drop them)
+    ev = generate_change_events(
+        spark, 3000, seed=17, n_domains=20, pages_per_domain=8,
+        lateness_s=600, num_partitions=8).cache()
+    log_dir = str(tmp_path / "log")
+    ev.write.parquet(log_dir)
+    # the file source orders by modification time (one write = one mtime
+    # = arbitrary order): stamp ascending mtimes in part order so arrival
+    # follows event time and stays inside the watermark horizon
+    import os
+    import time as _time
+
+    base = _time.time() - 1000
+    parts = sorted(f for f in os.listdir(log_dir) if f.endswith(".parquet"))
+    for i, fn in enumerate(parts):
+        os.utime(os.path.join(log_dir, fn), (base + i * 10, base + i * 10))
+
+    stream = windowed_event_counts(
+        spark, log_dir, window="10 minutes", watermark="30 minutes",
+        max_files_per_trigger=2)
+    q = (stream.writeStream.format("memory").queryName("winagg")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = (spark.table("winagg").toPandas()
+           .sort_values(["window_start", "op"]).reset_index(drop=True))
+
+    # final watermark = max event time - 30min (micro-batch granularity);
+    # every window whose END the watermark passed must be present & exact
+    max_ts = ev.agg(F.max("warc_ts")).first()[0]
+    import pandas as pd
+
+    closed_before = pd.Timestamp(max_ts) - pd.Timedelta(minutes=30)
+    want = (
+        ev.groupBy(F.window("warc_ts", "10 minutes").alias("w"), "op")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"), "op", "n_events")
+        .toPandas())
+    want_closed = (want[want["window_end"] <= closed_before]
+                   .sort_values(["window_start", "op"])
+                   .reset_index(drop=True))
+    assert len(want_closed) > 0, "fixture must close some windows"
+    got_idx = got.set_index(["window_start", "op"])["n_events"].to_dict()
+    for _, row in want_closed.iterrows():
+        k = (row["window_start"], row["op"])
+        assert got_idx.get(k) == row["n_events"], f"window {k} wrong/missing"
+    # append mode never emits a window twice
+    assert not got.duplicated(["window_start", "op"]).any()
+    # open windows (end beyond the watermark) are withheld
+    open_ends = got[got["window_end"] > pd.Timestamp(max_ts)]
+    assert len(open_ends) == 0
