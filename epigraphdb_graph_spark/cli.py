@@ -147,6 +147,30 @@ def cmd_genlog(args) -> int:
     return 0
 
 
+def cmd_matview(args) -> int:
+    """Refresh (or initially build) an incrementally maintained grouped
+    count/sum view of the table — run on a cadence next to the tailer."""
+    from .plans.lake import LakeTable
+    from .streaming.matview import maintain_aggregate, read_view
+
+    spark = _spark(args)
+    table = LakeTable(spark, args.table)
+    sums = {}
+    for spec in args.sum or []:
+        name, _, expr = spec.partition("=")
+        from pyspark.sql import functions as F
+
+        sums[name] = F.expr(expr or name)
+    res = maintain_aggregate(table, args.view_dir, group_col=args.group_col,
+                             sum_exprs=sums)
+    out = dict(res)
+    if args.show:
+        read_view(spark, args.view_dir).orderBy(args.group_col).show(50, False)
+    out["groups"] = read_view(spark, args.view_dir).count()
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_expire(args) -> int:
     from .plans.lake import LakeTable
 
@@ -237,6 +261,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--partitions", type=int, default=None)
     _add_common(p)
     p.set_defaults(fn=cmd_genlog)
+
+    p = sub.add_parser("matview", help="incrementally refresh a grouped count/sum view from the change feed")
+    p.add_argument("--table", required=True)
+    p.add_argument("--view-dir", required=True)
+    p.add_argument("--group-col", required=True)
+    p.add_argument("--sum", action="append", default=None,
+                   help="output=SQL-expr integer-sum spec (repeatable), "
+                        "e.g. --sum total_chars='length(text)'")
+    p.add_argument("--show", action="store_true")
+    _add_common(p)
+    p.set_defaults(fn=cmd_matview)
 
     p = sub.add_parser("expire", help="expire old snapshots + vacuum unreferenced files")
     p.add_argument("--table", required=True)

@@ -114,10 +114,36 @@ def check_contract(df: DataFrame, contract: TableContract, *, check_unique: bool
     return out
 
 
+#: lossless integer-widening ladder (Iceberg's int->long rule, extended
+#: down the integral chain)
+_INT_WIDTH = {T.ByteType: 0, T.ShortType: 1, T.IntegerType: 2, T.LongType: 3}
+
+
+def widens(old: T.DataType, new: T.DataType) -> bool:
+    """True iff ``new`` is a safe (lossless) widening of ``old`` — the
+    Iceberg evolution rules: integral up-casts, float->double, and
+    decimal growth that loses neither scale nor integer digits. Spark
+    4.x's parquet reader natively reads old files through the widened
+    schema (verified in tests), so no file rewrite is needed."""
+    if type(old) in _INT_WIDTH and type(new) in _INT_WIDTH:
+        return _INT_WIDTH[type(new)] > _INT_WIDTH[type(old)]
+    if isinstance(old, T.FloatType) and isinstance(new, T.DoubleType):
+        return True
+    if isinstance(old, T.DecimalType) and isinstance(new, T.DecimalType):
+        return (new.scale >= old.scale
+                and new.precision - new.scale >= old.precision - old.scale
+                and (new.precision, new.scale) != (old.precision, old.scale))
+    return False
+
+
 def merge_schemas(base: T.StructType, incoming: T.StructType) -> T.StructType:
-    """Additive schema union: base fields keep position/type; net-new
-    incoming fields are appended as nullable. Type changes are rejected
-    (only additive evolution is supported, like Iceberg's safe default)."""
+    """Additive + widening schema union: base fields keep position;
+    net-new incoming fields are appended as nullable; a field arriving
+    with a safely WIDER type (int->long, float->double, decimal growth)
+    widens the table schema in place — old files read through the wider
+    schema without rewrite. A NARROWER arrival keeps the table type (the
+    merge path up-casts the batch). Any other type change is rejected
+    (Iceberg's safe-evolution rules)."""
     by_name = {f.name: f for f in base.fields}
     out = list(base.fields)
     for f_ in incoming.fields:
@@ -132,10 +158,17 @@ def merge_schemas(base: T.StructType, incoming: T.StructType) -> T.StructType:
                 i = next(idx for idx, x in enumerate(out) if x.name == f_.name)
                 out[i] = T.StructField(f_.name, f_.dataType, True)
             elif existing != f_.dataType:
-                raise ContractError(
-                    f"schema evolution: incompatible type change for "
-                    f"'{f_.name}': {existing} -> {f_.dataType}"
-                )
+                if widens(existing, f_.dataType):
+                    i = next(idx for idx, x in enumerate(out)
+                             if x.name == f_.name)
+                    out[i] = T.StructField(f_.name, f_.dataType, True)
+                elif widens(f_.dataType, existing):
+                    pass  # narrower batch: caller conforms by up-cast
+                else:
+                    raise ContractError(
+                        f"schema evolution: incompatible type change for "
+                        f"'{f_.name}': {existing} -> {f_.dataType}"
+                    )
         else:
             out.append(T.StructField(f_.name, f_.dataType, True))
     return T.StructType(out)

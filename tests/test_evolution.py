@@ -65,3 +65,54 @@ def test_explicit_evolve_and_incompatible_change(spark, tmp_path):
             table.schema(),
             T.StructType([T.StructField("lang", T.LongType(), True)]),
         )
+
+
+def test_type_widening_evolution(spark, tmp_path):
+    """Widening evolution (Iceberg rules): a payload column arriving with
+    a safely wider type (int -> long, float -> double) widens the table
+    schema in place; pre-widening files read through the wider schema
+    without rewrite; a later NARROWER batch up-casts into the table type."""
+    import pandas as pd
+
+    from epigraphdb_graph_spark.schema import PAGES_SCHEMA, widens
+
+    # unit surface first
+    assert widens(T.IntegerType(), T.LongType())
+    assert widens(T.FloatType(), T.DoubleType())
+    assert widens(T.DecimalType(5, 2), T.DecimalType(10, 2))
+    assert not widens(T.LongType(), T.IntegerType())
+    assert not widens(T.DecimalType(10, 2), T.DecimalType(10, 4))  # digit loss
+    assert not widens(T.StringType(), T.LongType())
+
+    def batch(seq, url, ts, views, vtype):
+        pdf = pd.DataFrame(
+            [(seq, "insert", url, pd.Timestamp(ts), b"<p>x</p>", views)],
+            columns=["event_seq", "op", "url", "warc_ts", "html", "views"])
+        df = spark.createDataFrame(pdf)
+        return df.withColumn("views", F.col("views").cast(vtype))
+
+    path = str(tmp_path / "widen")
+    table = LakeTable.create(spark, path, PAGES_SCHEMA, key="url", n_buckets=4)
+    apply_batch(table, batch(1, "a", "2024-01-01", 7, "int"), batch_id="w1")
+    assert dict((f.name, f.dataType) for f in table.schema().fields)[
+        "views"] == T.IntegerType()
+
+    # long arrives -> schema widens; the old int-written file reads back
+    apply_batch(table, batch(2, "b", "2024-01-02", 2**40, "long"),
+                batch_id="w2")
+    assert dict((f.name, f.dataType) for f in table.schema().fields)[
+        "views"] == T.LongType()
+    got = {r["url"]: r["views"] for r in table.read().collect()}
+    assert got == {"a": 7, "b": 2**40}
+
+    # a narrower (int) batch after widening: up-cast, schema stays long
+    apply_batch(table, batch(3, "c", "2024-01-03", 11, "int"), batch_id="w3")
+    assert dict((f.name, f.dataType) for f in table.schema().fields)[
+        "views"] == T.LongType()
+    got = {r["url"]: r["views"] for r in table.read().collect()}
+    assert got == {"a": 7, "b": 2**40, "c": 11}
+
+    # truly incompatible change still rejected
+    with pytest.raises(ContractError, match="incompatible"):
+        merge_schemas(table.schema(),
+                      T.StructType([T.StructField("views", T.StringType())]))
