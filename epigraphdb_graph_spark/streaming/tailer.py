@@ -85,9 +85,16 @@ def tail_change_log(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()
-        # watermark = true log position (max seq in the RAW batch): LWW dedup
-        # may drop the max-seq event, so merge's fallback would under-report
-        wm = batch_df.agg(F.max("event_seq")).first()[0]
+        # ONE stats job per micro-batch: watermark = true log position
+        # (max seq in the RAW batch — LWW dedup may drop the max-seq
+        # event, so merge's fallback would under-report) + the supersede
+        # stats the adaptive policy needs
+        stats = batch_df.agg(
+            F.max("event_seq").alias("wm"),
+            F.count("*").alias("n"),
+            F.approx_count_distinct("url").alias("k"),
+        ).first()
+        wm = stats["wm"]
         extra = None
         events = batch_df
         if dead_letter_dir is not None:
@@ -98,11 +105,9 @@ def tail_change_log(
         if mode == "cow":
             dedup: bool | str = True
         elif mor_dedup == "auto":
-            # adaptive winner strategy per micro-batch (batch_df is already
-            # persisted, so the supersede-ratio agg is one cheap cached pass)
             from ..replay import choose_mor_dedup
 
-            dedup = choose_mor_dedup(events)
+            dedup = choose_mor_dedup(events, stats=(stats["n"], stats["k"]))
         else:
             # explicit override — e.g. "filter" for column-prunable sources
             # with KB-scale payloads (see replay.choose_mor_dedup docstring)
