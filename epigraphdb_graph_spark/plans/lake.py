@@ -289,6 +289,15 @@ class LakeTable:
             "parent": None,
             "key": key,
             "n_buckets": n_buckets,
+            # bucket function. "murmur3" = pmod(hash(key), n) — chosen to be
+            # IDENTICAL to Spark's HashPartitioning placement so that
+            # repartition(n_buckets, key) puts bucket b's rows in partition
+            # b exactly: one exchange both bucket-aligns a batch AND
+            # satisfies groupBy(key)/join(key) clustering, so LWW dedup and
+            # the MERGE join run in the same stage with no further shuffle
+            # (Iceberg bucket-transform storage-partitioned-join analog).
+            # Legacy manifests without the field read as "xxhash64".
+            "bucket_hash": "murmur3",
             "schema": schema.jsonValue(),
             "files": {},   # bucket(str) -> [relative paths] (base files)
             "deltas": {},  # bucket(str) -> [relative paths] (MOR deltas)
@@ -491,6 +500,67 @@ class LakeTable:
         ).drop("_wk", "_word", "_ord")
         return base_cold.unionByName(resolved_hot)
 
+    def _resolved_for_rewrite(
+        self, manifest: dict, buckets: list[int] | None
+    ) -> tuple[DataFrame, bool]:
+        """Resolution variant for compact()'s rewrite on murmur3 tables:
+        semantics of _read_resolved, but built as ONE pure plan — the
+        winners relation stays a broadcast *subplan* (materialized inside
+        the rewrite job itself), with no driver toPandas round-trip and no
+        tie-probe decision job. Tied re-delivered rows (equal (_ts,_seq)
+        byte-identical copies) may survive the winner filter; the caller
+        collapses them with a partition-local dropDuplicates(key) AFTER its
+        bucket-aligned exchange (HashPartitioning(key, n) satisfies the
+        clustering, so the dedup adds no shuffle). Returns
+        ``(df, needs_key_dedup)``; falls back to _read_resolved (probe
+        path) for the compaction-overdue overflow case."""
+        deltas = manifest.get("deltas", {})
+        files = manifest.get("files", {})
+        if buckets is None:
+            wanted = sorted(set(files.keys()) | set(deltas.keys()), key=int)
+        else:
+            wanted = [str(b) for b in buckets]
+        hot = [b for b in wanted if deltas.get(str(b))]
+        if not hot:
+            return self._read_files(manifest, buckets), False
+        n_delta_rows = sum(
+            self._file_rows(manifest, f)
+            for b in hot
+            for f in deltas.get(str(b), [])
+        )
+        if n_delta_rows > RESOLVE_BROADCAST_MAX_DELTA_ROWS:
+            return self._read_resolved(manifest, buckets), False
+
+        hot_set = set(hot)
+        cold = [b for b in wanted if b not in hot_set]
+        base_cold = self._read_files(manifest, cold)
+        base_hot = self._read_files(manifest, hot)
+        delta_df = self._read_files(manifest, hot, which="deltas")
+        key = manifest["key"]
+        ord_expr = (  # packed (_ts,_seq) — see _read_resolved
+            F.unix_micros(F.col("_ts")).cast("decimal(38,0)")
+            * F.lit(1_000_000_000_000_000_000)
+            + F.col("_seq")
+        )
+        union_hot = base_hot.unionByName(delta_df).withColumn("_ord", ord_expr)
+        pruned = delta_df.select(key, "_ts", "_seq")
+        if any(files.get(str(b)) for b in hot):
+            dkeys = delta_df.select(F.col(key).alias("_dk")).distinct()
+            base_pruned = base_hot.select(key, "_ts", "_seq").join(
+                F.broadcast(dkeys), F.col(key) == F.col("_dk"), "left_semi")
+            pruned = pruned.unionByName(base_pruned)
+        winners = (
+            pruned.withColumn("_ord", ord_expr)
+            .groupBy(F.col(key).alias("_wk"))
+            .agg(F.max("_ord").alias("_word"))
+        )
+        j = union_hot.join(F.broadcast(winners),
+                           F.col(key) == F.col("_wk"), "left")
+        resolved_hot = j.filter(
+            F.col("_wk").isNull() | (F.col("_ord") == F.col("_word"))
+        ).drop("_wk", "_word", "_ord")
+        return base_cold.unionByName(resolved_hot), True
+
     def read(self, version: int | None = None, *, with_system_cols: bool = False) -> DataFrame:
         """Current (or time-travel) state. Tombstones filtered out; pending
         merge-on-read deltas resolved."""
@@ -500,9 +570,30 @@ class LakeTable:
             df = df.drop(*SYS_COLS)
         return df
 
-    def bucket_expr(self, key_col, n_buckets: int | None = None):
-        n = n_buckets or self.manifest()["n_buckets"]
+    def bucket_expr(self, key_col, n_buckets: int | None = None,
+                    manifest: dict | None = None):
+        m = manifest if manifest is not None else self.manifest()
+        n = n_buckets or m["n_buckets"]
+        if m.get("bucket_hash", "xxhash64") == "murmur3":
+            # pmod(murmur3(key), n) — bit-identical to Spark's
+            # HashPartitioning partition id, so partition b == bucket b
+            # after repartition(n, key) (see create() note)
+            return F.pmod(F.hash(key_col), F.lit(n)).cast("int")
         return F.pmod(F.xxhash64(key_col), F.lit(n)).cast("int")
+
+    def _bucket_repartition(self, df: DataFrame, manifest: dict,
+                            n_buckets: int | None = None) -> DataFrame:
+        """One exchange into bucket-aligned layout. murmur3 tables hash the
+        KEY (partition id == bucket id, and the resulting
+        HashPartitioning(key, n) satisfies any downstream groupBy(key)/
+        dropDuplicates(key)/join(key) clustering — no further shuffle);
+        legacy xxhash64 tables hash the _bucket column (stable placement,
+        but buckets scatter over partitions: some tasks carry 2-3 buckets
+        — the write-stage straggler murmur3 alignment removes)."""
+        n = n_buckets or manifest["n_buckets"]
+        if manifest.get("bucket_hash", "xxhash64") == "murmur3":
+            return df.repartition(n, F.col(manifest["key"]))
+        return df.repartition(n, "_bucket")
 
     # ----------------------------------------------------------------- write
     def _write_snapshot(
@@ -589,9 +680,9 @@ class LakeTable:
             (F.col("warc_ts") if "warc_ts" in df.columns
              else F.lit(None).cast("timestamp")).alias("_ts"),
             F.lit(False).alias("_deleted"),
-            self.bucket_expr(F.col(key), m["n_buckets"]).alias("_bucket"),
+            self.bucket_expr(F.col(key), m["n_buckets"], manifest=m).alias("_bucket"),
         )
-        files = self._write_snapshot(full.repartition(m["n_buckets"], "_bucket"), version)
+        files = self._write_snapshot(self._bucket_repartition(full, m), version)
         new_rows = self._scan_new_file_rows(files)
         manifest = {
             **m,
@@ -616,6 +707,7 @@ class LakeTable:
         watermark_seq: int | None = None,
         mode: str = "cow",
         extra_metrics: dict | None = None,
+        src_aligned: bool = False,
     ) -> MergeResult:
         """Apply a deduplicated change batch with MERGE semantics.
 
@@ -675,7 +767,7 @@ class LakeTable:
                 conformed.append(F.col(c))
         src = updates.select(
             *conformed, "event_seq", "op",
-            self.bucket_expr(F.col(key), n_buckets).alias("_bucket"),
+            self.bucket_expr(F.col(key), n_buckets, manifest=m).alias("_bucket"),
         )
 
         if mode == "mor":
@@ -687,6 +779,7 @@ class LakeTable:
                 m, src, all_cols, new_schema,
                 batch_id=batch_id, collect_metrics=collect_metrics,
                 watermark_seq=watermark_seq, extra_metrics=extra,
+                src_aligned=src_aligned,
             )
 
         # persist (COW): the updates lineage (dedup + extraction UDF) is
@@ -716,8 +809,18 @@ class LakeTable:
         target = (
             self._read_resolved(m, buckets=touched,
                                 file_schema=self._file_schema(evolved_manifest))
-            .withColumn("_bucket", self.bucket_expr(F.col(key), n_buckets))
+            .withColumn("_bucket", self.bucket_expr(F.col(key), n_buckets, manifest=m))
         )
+        if src_aligned and m.get("bucket_hash") == "murmur3":
+            # explicitly co-partition the target at n_buckets so the MERGE
+            # join reuses src's fused exchange verbatim: without this,
+            # EnsureRequirements normalizes BOTH sides to
+            # spark.sql.shuffle.partitions whenever that differs from
+            # n_buckets — re-shuffling the already-aligned src payloads.
+            # With it, the whole COW commit is one exchange per side and
+            # the join output stays physically bucket-aligned for the
+            # exchange-free write below.
+            target = target.repartition(n_buckets, F.col(key))
 
         s_cols = F.struct(
             *[F.col(f"s.{c}").alias(c) for c in all_cols],
@@ -785,8 +888,22 @@ class LakeTable:
                     applied & (F.unix_micros(F.col("_ts")) < F.lit(late_thr)),
                     1).otherwise(0)).alias("_late"),
             ).drop("_action")
-        n_parts = max(len(touched), 1)
-        new_files = self._write_snapshot(out.repartition(n_parts, "_bucket"), version)
+        if src_aligned and m.get("bucket_hash") == "murmur3":
+            # src arrived HashPartitioning(key, n_buckets) (prepare_batch's
+            # fused exchange); the planner co-partitions the target side to
+            # match, and a full-outer SMJ moves no rows — so the join
+            # output is already physically bucket-aligned (partition b ==
+            # bucket b, even though Catalyst reports full-outer output
+            # partitioning as unknown). Write it directly: zero further
+            # exchange — the whole COW commit carries payloads through
+            # exactly ONE shuffle (the target side's co-partitioning).
+            new_files = self._write_snapshot(out, version)
+        else:
+            n_parts = max(len(touched), 1)
+            new_files = self._write_snapshot(
+                self._bucket_repartition(out, m, n_parts)
+                if m.get("bucket_hash") != "murmur3"
+                else out.repartition(m["n_buckets"], F.col(key)), version)
         # per-file stats of the just-written files, recorded in the manifest
         # so reads/lineage never re-touch footers
         new_rows = self._scan_new_file_rows(new_files)
@@ -861,6 +978,7 @@ class LakeTable:
         collect_metrics: bool,
         watermark_seq: int | None,
         extra_metrics: dict | None = None,
+        src_aligned: bool = False,
     ) -> MergeResult:
         """Merge-on-read commit: append the batch as per-bucket delta
         files. O(batch) — no target read, no join; per-key LWW resolution
@@ -898,7 +1016,12 @@ class LakeTable:
                       .otherwise(0)).alias("_late"),
             )
         new_files = self._write_snapshot(
-            out.repartition(m["n_buckets"], "_bucket"), version, kind="delta"
+            # aligned src (prepare_batch fused exchange): the batch is
+            # already partition b == bucket b — append delta files with NO
+            # exchange at all (the O(batch) commit's only stage is
+            # scan->write)
+            out if src_aligned and m.get("bucket_hash") == "murmur3"
+            else self._bucket_repartition(out, m), version, kind="delta"
         )
         if not new_files:  # empty batch: ledger-only commit (cf. COW path)
             if batch_id is not None:
@@ -1138,14 +1261,30 @@ class LakeTable:
             )
             if not target:
                 return m["version"]  # nothing pending — no-op, no commit
-        df = self._read_resolved(m, buckets=target).withColumn(
-            "_bucket", self.bucket_expr(F.col(m["key"]), new_n)
+        fused = m.get("bucket_hash") == "murmur3"
+        if fused:
+            # single-job rewrite: winners as a pure broadcast subplan, ties
+            # collapsed partition-locally after the aligned exchange — the
+            # whole compaction is one Spark job (no driver probe round-trip)
+            df, needs_dedup = self._resolved_for_rewrite(m, target)
+        else:
+            df, needs_dedup = self._read_resolved(m, buckets=target), False
+        df = df.withColumn(
+            "_bucket", self.bucket_expr(F.col(m["key"]), new_n, manifest=m)
         )
         if drop_tombstones:
             df = df.filter(~F.col("_deleted"))
         version = m["version"] + 1
         n_parts = new_n if full else max(len(target), 1)
-        new_files = self._write_snapshot(df.repartition(n_parts, "_bucket"), version)
+        if fused:
+            out = df.repartition(new_n, F.col(m["key"]))
+            if needs_dedup:
+                # HashPartitioning(key, new_n) satisfies the clustering —
+                # this dedup of re-delivered ties adds NO exchange
+                out = out.dropDuplicates([m["key"]])
+        else:
+            out = self._bucket_repartition(df, {**m, "n_buckets": new_n}, n_parts)
+        new_files = self._write_snapshot(out, version)
         new_rows = self._scan_new_file_rows(new_files)
         if full:
             files, deltas = new_files, {}

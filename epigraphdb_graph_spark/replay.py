@@ -29,7 +29,9 @@ from .plans.lake import LakeTable, MergeResult
 from .schema import PAGES_SCHEMA
 
 
-def prepare_batch(events: DataFrame, *, dedup: bool | str = True) -> DataFrame:
+def prepare_batch(events: DataFrame, *, dedup: bool | str = True,
+                  bucket_into: int | None = None,
+                  key: str = "url") -> DataFrame:
     """Prepare a raw change-event batch: per-key LWW winner selection,
     then html→text extraction (on surviving rows only).
 
@@ -37,20 +39,65 @@ def prepare_batch(events: DataFrame, *, dedup: bool | str = True) -> DataFrame:
       - ``True`` (COW requirement: the MERGE join needs exactly one source
         row per key): ``lww_dedup_agg`` — max_by aggregation, shuffles one
         combined row per (task, key).
-      - ``"filter"`` (MOR fast path): ``lww_winner_filter`` — winners from
-        a column-pruned agg + broadcast join-back; **payload columns never
-        shuffle** and extraction runs only on winners (at a 10:1 supersede
-        ratio, ~90% less UDF CPU and ~90% smaller delta files). May keep
-        re-delivered ties; MOR read-resolution collapses them.
+      - ``"filter"`` (column-prunable sources, e.g. a parquet/Kafka log):
+        ``lww_winner_filter`` — winners from a column-pruned agg +
+        broadcast join-back, so loser payloads are dropped at the scan and
+        never shuffle; extraction runs only on winners (at a 10:1
+        supersede ratio, ~90% less UDF CPU and ~90% smaller delta files).
+        May keep re-delivered ties; MOR read-resolution collapses them.
       - ``False``: no winner selection — extract everything (MOR remains
         correct via read-resolution; use when batches are too large for
-        the winner broadcast)."""
-    if dedup is True:
-        events = lww_dedup_agg(events, key="url", ts_col="warc_ts", seq_col="event_seq")
-    elif dedup == "filter":
-        events = lww_winner_filter(events, key="url", ts_col="warc_ts",
+        the winner broadcast).
+
+    ``bucket_into=n`` (murmur3-bucketed tables — apply_batch sets it)
+    FUSES the table's bucket layout into this preparation with a single
+    payload exchange: winner selection (broadcast filter — no payload
+    movement) and html→text extraction run in the narrow pre-exchange
+    stage, then ``repartition(n, key)`` places every surviving row in
+    partition == bucket (see LakeTable.create), so the downstream
+    MERGE/delta write needs no exchange at all. For ``dedup=True`` the
+    COW exactly-one-row-per-key contract is restored by a
+    partition-local dedup of re-delivered ties on the far side of the
+    exchange (HashPartitioning(key, n) satisfies the clustering — no
+    extra shuffle). ``dedup="agg"`` is the unbounded-batch fallback
+    (no winner broadcast)."""
+    if bucket_into is None:
+        if dedup is True or dedup == "agg":
+            events = lww_dedup_agg(events, key=key, ts_col="warc_ts",
                                    seq_col="event_seq")
-    return events.withColumn("text", extract_text_udf(F.col("html")))
+        elif dedup == "filter":
+            events = lww_winner_filter(events, key=key, ts_col="warc_ts",
+                                       seq_col="event_seq")
+        return events.withColumn("text", extract_text_udf(F.col("html")))
+    if dedup == "agg":
+        # unbounded-batch fallback (no winner broadcast): exchange first,
+        # partition-local agg dedup, extraction after. Correct at any
+        # batch size, but the UDF stage is n_buckets tasks wide — per-task
+        # python/Arrow setup makes that the slower shape for normal
+        # micro-batches (measured ~0.25 s/task at 1 core).
+        events = events.repartition(bucket_into, F.col(key))
+        events = lww_dedup_agg(events, key=key, ts_col="warc_ts",
+                               seq_col="event_seq")
+        return events.withColumn("text", extract_text_udf(F.col("html")))
+    if dedup in (True, "filter"):
+        # winner-select with zero payload movement (column-pruned agg +
+        # broadcast join-back) — losers are dropped at the scan
+        events = lww_winner_filter(events, key=key, ts_col="warc_ts",
+                                   seq_col="event_seq")
+    if dedup is not False:
+        # extraction in the NARROW pre-exchange stage (width = input
+        # splits, pipelined with the scan): a post-exchange UDF stage
+        # would be n_buckets tasks wide and pay per-task python overhead
+        events = events.withColumn("text", extract_text_udf(F.col("html")))
+        events = events.repartition(bucket_into, F.col(key))
+        if dedup is True:
+            # exact one-row-per-key (COW MERGE contract): collapse
+            # re-delivered ties partition-locally — HashPartitioning(key,
+            # n) satisfies the clustering, no further exchange
+            events = events.dropDuplicates([key])
+        return events
+    events = events.withColumn("text", extract_text_udf(F.col("html")))
+    return events.repartition(bucket_into, F.col(key))
 
 
 #: auto MOR policy threshold: distinct(key)/rows above this means the
@@ -127,10 +174,13 @@ def apply_batch(
         dedup = choose_mor_dedup(events)
     else:
         dedup = mor_dedup
+    m = table.manifest()
+    aligned = m.get("bucket_hash") == "murmur3"
     return table.merge(
-        prepare_batch(events, dedup=dedup),
+        prepare_batch(events, dedup=dedup, key=m["key"],
+                      bucket_into=m["n_buckets"] if aligned else None),
         batch_id=batch_id, watermark_seq=watermark_seq,
-        mode=mode, extra_metrics=extra,
+        mode=mode, extra_metrics=extra, src_aligned=aligned,
     )
 
 

@@ -112,12 +112,16 @@ def tail_change_log(
             # explicit override — e.g. "filter" for column-prunable sources
             # with KB-scale payloads (see replay.choose_mor_dedup docstring)
             dedup = mor_dedup
+        m = table.manifest()
+        aligned = m.get("bucket_hash") == "murmur3"
         table.merge(
-            prepare_batch(events, dedup=dedup),
+            prepare_batch(events, dedup=dedup, key=m["key"],
+                          bucket_into=m["n_buckets"] if aligned else None),
             batch_id=f"stream-{ns}:{batch_id:012d}",
             watermark_seq=wm if wm is not None else -1,
             mode=mode,
             extra_metrics=extra,
+            src_aligned=aligned,
         )
         if auto_compact_delta_files is not None:
             table.maybe_compact(max_delta_files=auto_compact_delta_files)
