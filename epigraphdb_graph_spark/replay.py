@@ -103,38 +103,57 @@ def prepare_batch(events: DataFrame, *, dedup: bool | str = True,
 #: auto MOR policy threshold: distinct(key)/rows above this means the
 #: batch is effectively append-only — winner selection would collapse
 #: (almost) nothing, so its shuffle is pure overhead and append-all wins.
-#: Below it, superseded rows exist in material volume and the agg-dedup
-#: pays for itself several times over: winners-only extraction, ~1/ratio
-#: smaller delta files, and a compaction that folds winners instead of
-#: the raw log. Round-3 measurements on the benchmark shapes (local[32],
-#: 500k events, 32 buckets): 10:1 supersede @70 B/page — agg 48.7k ev/s
-#: vs append-all 43.0k vs filter 37.9k; 1.9:1 @70 B — agg 23.6k vs
-#: append-all 17.2k; 4:1 @7 KB — append-all 6.5k ≈ agg 6.2k vs filter
-#: 4.7k. (Round 2's payload-bytes-only policy picked append-all for the
-#: 70 B/10:1 headline — the recorded 29% regression this replaces.)
+#: Below it, superseded rows exist in material volume and winner-side
+#: dedup pays for itself several times over: winners-only extraction,
+#: ~1/ratio smaller delta files, and a compaction that folds winners
+#: instead of the raw log.
 MOR_DEDUP_MAX_DISTINCT_FRAC = 0.9
+
+#: between the two supersede-bearing strategies the cost driver is the
+#: post-exchange UDF stage width: "agg" (exchange raw events first,
+#: partition-local winner agg, extraction on winners only — ONE job per
+#: batch, no broadcast collect) runs its extraction n_buckets tasks wide,
+#: each paying Arrow/python-worker setup, so it needs enough cores to
+#: amortize those rounds; the broadcast winner filter (True) keeps
+#: extraction in the narrow pre-exchange stage but costs a second
+#: full-scan job per batch. Measured crossover on this engine (500k
+#: events 10:1 @70 B and 100k @7 KB, 32 buckets): agg 80.8k/14.5k ev/s
+#: vs True 46.1k/7.5k at 32 cores; agg ≈ True at 4 cores (7.0k vs 6.6k
+#: on the 100k shape); True 1.7× faster at 1 core. The threshold below
+#: (agg when n_buckets <= 8 * cores, i.e. at most ~8 serial UDF-task
+#: rounds) encodes that crossover.
+MOR_AGG_MAX_BUCKETS_PER_CORE = 8
 
 
 def choose_mor_dedup(
-    events: DataFrame, *, stats: tuple[int, int] | None = None
+    events: DataFrame, *, stats: tuple[int, int] | None = None,
+    n_buckets: int | None = None, parallelism: int | None = None,
 ) -> bool | str:
     """Pick the MOR winner-selection strategy from the batch's supersede
-    ratio: ``True`` (per-key agg dedup — the default winner in every
-    measured supersede-bearing shape) unless the batch is effectively
-    append-only (distinct keys ≈ rows), where ``False`` (append-all,
-    read-resolution dedups) skips a shuffle that would collapse nothing.
-    Correctness is identical either way — this is purely a cost choice.
+    ratio and the cluster/bucket geometry. Returns ``False`` (append-all,
+    read-resolution dedups) when the batch is effectively append-only
+    (distinct keys ≈ rows) — winner selection would collapse nothing, so
+    its shuffle is pure overhead. For supersede-bearing batches:
+    ``"agg"`` (single-job exchange-first dedup with winners-only
+    extraction) when the post-exchange UDF stage width amortizes over the
+    available cores (``n_buckets <= MOR_AGG_MAX_BUCKETS_PER_CORE *
+    parallelism``), else ``True`` (broadcast winner filter — extraction
+    stays in the narrow pre-exchange stage). Correctness is identical in
+    every branch — this is purely a cost choice.
 
     ``stats=(n_rows, n_distinct_keys)``, when the caller already has them,
     makes this free; otherwise one column-pruned, map-side-combinable agg
     over the key column runs (replay() folds the stats into its existing
     log-bounds job, so the batch path never pays an extra pass).
+    ``n_buckets``/``parallelism`` default to "geometry unknown", which
+    keeps the broadcast-filter choice (safe at any width).
 
-    ``"filter"`` (broadcast winner filter) is never auto-chosen: it beats
-    the agg only when the source supports real column pruning (parquet/
-    Kafka with lazy payload), where its pruned winner pass skips payload
-    IO and payload columns never shuffle — callers with such sources and
-    KB-scale pages should pass ``mor_dedup="filter"`` explicitly."""
+    ``"filter"`` (broadcast winner filter without the partition-local tie
+    collapse) is never auto-chosen: it beats the agg only when the source
+    supports real column pruning (parquet/Kafka with lazy payload), where
+    its pruned winner pass skips payload IO and payload columns never
+    shuffle — callers with such sources and KB-scale pages should pass
+    ``mor_dedup="filter"`` explicitly."""
     if stats is None:
         row = events.agg(
             F.count("*").alias("n"),
@@ -144,7 +163,15 @@ def choose_mor_dedup(
     n_rows, n_keys = stats
     if n_rows == 0:
         return False
-    return n_keys / n_rows <= MOR_DEDUP_MAX_DISTINCT_FRAC
+    if n_keys / n_rows > MOR_DEDUP_MAX_DISTINCT_FRAC:
+        return False
+    if (
+        n_buckets is not None
+        and parallelism is not None
+        and n_buckets <= MOR_AGG_MAX_BUCKETS_PER_CORE * parallelism
+    ):
+        return "agg"
+    return True
 
 
 def apply_batch(
@@ -168,13 +195,15 @@ def apply_batch(
 
         events, counts = quarantine(events, dead_letter_dir)
         extra = {"quarantined": counts}
+    m = table.manifest()
     if mode == "cow":
         dedup: bool | str = True
     elif mor_dedup == "auto":
-        dedup = choose_mor_dedup(events)
+        dedup = choose_mor_dedup(
+            events, n_buckets=m["n_buckets"],
+            parallelism=events.sparkSession.sparkContext.defaultParallelism)
     else:
         dedup = mor_dedup
-    m = table.manifest()
     aligned = m.get("bucket_hash") == "murmur3"
     return table.merge(
         prepare_batch(events, dedup=dedup, key=m["key"],
@@ -228,7 +257,10 @@ def replay(
     if need_stats:
         # one whole-log decision (per-batch ratios track the log's at this
         # generator's stationary key mix; a real tailer decides per batch)
-        mor_dedup = choose_mor_dedup(events, stats=(bounds["n"], bounds["k"]))
+        mor_dedup = choose_mor_dedup(
+            events, stats=(bounds["n"], bounds["k"]),
+            n_buckets=table.manifest()["n_buckets"],
+            parallelism=spark.sparkContext.defaultParallelism)
     lo, hi = bounds["lo"], bounds["hi"]
     span = hi - lo + 1
     step = max(1, (span + n_batches - 1) // n_batches)

@@ -107,7 +107,11 @@ def tail_change_log(
         elif mor_dedup == "auto":
             from ..replay import choose_mor_dedup
 
-            dedup = choose_mor_dedup(events, stats=(stats["n"], stats["k"]))
+            dedup = choose_mor_dedup(
+                events, stats=(stats["n"], stats["k"]),
+                n_buckets=table.manifest()["n_buckets"],
+                parallelism=batch_df.sparkSession.sparkContext
+                .defaultParallelism)
         else:
             # explicit override — e.g. "filter" for column-prunable sources
             # with KB-scale payloads (see replay.choose_mor_dedup docstring)

@@ -201,6 +201,18 @@ def test_choose_mor_dedup_by_supersede_ratio(spark):
     assert choose_mor_dedup(superseding, stats=(1000, 100)) is True
     assert choose_mor_dedup(superseding, stats=(1000, 990)) is False
     assert choose_mor_dedup(superseding, stats=(0, 0)) is False
+    # geometry-aware branch: the single-job exchange-first "agg" form is
+    # picked only when the post-exchange UDF stage (n_buckets tasks wide)
+    # amortizes over the cores — <= MOR_AGG_MAX_BUCKETS_PER_CORE rounds
+    assert choose_mor_dedup(
+        superseding, stats=(1000, 100), n_buckets=32, parallelism=32) == "agg"
+    assert choose_mor_dedup(
+        superseding, stats=(1000, 100), n_buckets=32, parallelism=4) == "agg"
+    assert choose_mor_dedup(
+        superseding, stats=(1000, 100), n_buckets=32, parallelism=1) is True
+    # append-only wins regardless of geometry
+    assert choose_mor_dedup(
+        superseding, stats=(1000, 990), n_buckets=32, parallelism=32) is False
 
 
 def test_ledger_is_bounded_and_resumable(spark, tmp_path, events):
