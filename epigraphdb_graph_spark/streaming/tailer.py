@@ -102,16 +102,18 @@ def tail_change_log(
 
             events, counts = quarantine(batch_df, dead_letter_dir)
             extra = {"quarantined": counts}
+        par = batch_df.sparkSession.sparkContext.defaultParallelism
         if mode == "cow":
-            dedup: bool | str = True
+            from ..replay import choose_cow_dedup
+
+            dedup: bool | str = choose_cow_dedup(
+                n_buckets=table.manifest()["n_buckets"], parallelism=par)
         elif mor_dedup == "auto":
             from ..replay import choose_mor_dedup
 
             dedup = choose_mor_dedup(
                 events, stats=(stats["n"], stats["k"]),
-                n_buckets=table.manifest()["n_buckets"],
-                parallelism=batch_df.sparkSession.sparkContext
-                .defaultParallelism)
+                n_buckets=table.manifest()["n_buckets"], parallelism=par)
         else:
             # explicit override — e.g. "filter" for column-prunable sources
             # with KB-scale payloads (see replay.choose_mor_dedup docstring)
