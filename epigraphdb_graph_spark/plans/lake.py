@@ -708,8 +708,15 @@ class LakeTable:
         mode: str = "cow",
         extra_metrics: dict | None = None,
         src_aligned: bool = False,
+        deferred_watermark=None,
     ) -> MergeResult:
         """Apply a deduplicated change batch with MERGE semantics.
+
+        ``deferred_watermark``: zero-arg callable consulted AFTER the write
+        job when ``watermark_seq`` is None — lets a caller piggyback the
+        batch's true log position on the write job itself (an Observation
+        over the raw batch) instead of paying a separate stats job; must
+        return the max raw event_seq or None.
 
         ``updates`` contract: one row per key (pre-deduplicated via
         operators.lww), columns = [key, event_seq(op ordering long),
@@ -779,7 +786,7 @@ class LakeTable:
                 m, src, all_cols, new_schema,
                 batch_id=batch_id, collect_metrics=collect_metrics,
                 watermark_seq=watermark_seq, extra_metrics=extra,
-                src_aligned=src_aligned,
+                src_aligned=src_aligned, deferred_watermark=deferred_watermark,
             )
 
         # persist (COW): the updates lineage (dedup + extraction UDF) is
@@ -933,6 +940,8 @@ class LakeTable:
         # batch's end position, fall back to max seq in the (deduped) batch —
         # note LWW by (warc_ts, seq) may have dropped the max-seq event, so
         # the explicit parameter is the accurate form (replay.py passes it).
+        if watermark_seq is None and deferred_watermark is not None:
+            watermark_seq = deferred_watermark()
         if watermark_seq is None:
             wm_row = src.agg(F.max("event_seq")).first()
             watermark_seq = wm_row[0] if wm_row[0] is not None else -1
@@ -979,6 +988,7 @@ class LakeTable:
         watermark_seq: int | None,
         extra_metrics: dict | None = None,
         src_aligned: bool = False,
+        deferred_watermark=None,
     ) -> MergeResult:
         """Merge-on-read commit: append the batch as per-bucket delta
         files. O(batch) — no target read, no join; per-key LWW resolution
@@ -1051,6 +1061,8 @@ class LakeTable:
                 for b, fl in new_files.items()
             }
 
+        if watermark_seq is None and deferred_watermark is not None:
+            watermark_seq = deferred_watermark()
         if watermark_seq is None:
             wm_row = src.agg(F.max("event_seq")).first()
             watermark_seq = wm_row[0] if wm_row[0] is not None else -1

@@ -83,55 +83,85 @@ def tail_change_log(
     # skipped against a stale ledger entry.
     ns = hashlib.sha256(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
 
+    # previous micro-batch's observed (rows, distinct keys): CDC streams
+    # are key-mix-stationary at micro-batch cadence, so last batch's
+    # supersede ratio is the right prior for this batch's strategy pick —
+    # and it makes the pick FREE (no stats job; the Observation below
+    # fills it during the merge's own write job). A wrong pick costs only
+    # a wasted (or skipped) dedup shuffle — state is identical either way.
+    prev_stats: list[tuple[int, int] | None] = [None]
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.persist()
-        # ONE stats job per micro-batch: watermark = true log position
-        # (max seq in the RAW batch — LWW dedup may drop the max-seq
-        # event, so merge's fallback would under-report) + the supersede
-        # stats the adaptive policy needs
-        stats = batch_df.agg(
+        from pyspark.sql import Observation
+
+        # watermark = true log position (max seq in the RAW batch — LWW
+        # dedup may drop the max-seq event) + next batch's policy stats,
+        # all piggybacked on the merge write job via Observation: the
+        # whole micro-batch is ONE Spark job in the aligned-agg shape
+        raw_obs = Observation()
+        events = batch_df.observe(
+            raw_obs,
             F.max("event_seq").alias("wm"),
             F.count("*").alias("n"),
             F.approx_count_distinct("url").alias("k"),
-        ).first()
-        wm = stats["wm"]
+        )
         extra = None
-        events = batch_df
+        cached = None
         if dead_letter_dir is not None:
             from ..operators.quarantine import quarantine
 
-            events, counts = quarantine(batch_df, dead_letter_dir)
+            # quarantine splits + counts in side jobs: cache the scanned
+            # batch so those jobs and the merge share one source pass
+            cached = events.persist()
+            events, counts = quarantine(cached, dead_letter_dir)
             extra = {"quarantined": counts}
         par = batch_df.sparkSession.sparkContext.defaultParallelism
+        m = table.manifest()
         if mode == "cow":
             from ..replay import choose_cow_dedup
 
             dedup: bool | str = choose_cow_dedup(
-                n_buckets=table.manifest()["n_buckets"], parallelism=par)
+                n_buckets=m["n_buckets"], parallelism=par)
         elif mor_dedup == "auto":
             from ..replay import choose_mor_dedup
 
-            dedup = choose_mor_dedup(
-                events, stats=(stats["n"], stats["k"]),
-                n_buckets=table.manifest()["n_buckets"], parallelism=par)
+            if prev_stats[0] is not None:
+                dedup = choose_mor_dedup(
+                    events, stats=prev_stats[0],
+                    n_buckets=m["n_buckets"], parallelism=par)
+            else:
+                # first batch: assume supersede-bearing (the normal CDC
+                # shape) and pick by geometry alone
+                from ..replay import choose_cow_dedup
+
+                dedup = choose_cow_dedup(
+                    n_buckets=m["n_buckets"], parallelism=par)
         else:
             # explicit override — e.g. "filter" for column-prunable sources
             # with KB-scale payloads (see replay.choose_mor_dedup docstring)
             dedup = mor_dedup
-        m = table.manifest()
         aligned = m.get("bucket_hash") == "murmur3"
+
+        def _wm_from_obs() -> int:
+            got = raw_obs.get  # filled by the completed merge job
+            prev_stats[0] = (int(got.get("n") or 0), int(got.get("k") or 0))
+            wm = got.get("wm")
+            return int(wm) if wm is not None else -1
+
         table.merge(
             prepare_batch(events, dedup=dedup, key=m["key"],
                           bucket_into=m["n_buckets"] if aligned else None),
             batch_id=f"stream-{ns}:{batch_id:012d}",
-            watermark_seq=wm if wm is not None else -1,
+            watermark_seq=None,
+            deferred_watermark=_wm_from_obs,
             mode=mode,
             extra_metrics=extra,
             src_aligned=aligned,
         )
         if auto_compact_delta_files is not None:
             table.maybe_compact(max_delta_files=auto_compact_delta_files)
-        batch_df.unpersist()
+        if cached is not None:
+            cached.unpersist()
 
     writer = (
         events.writeStream.foreachBatch(_apply)
