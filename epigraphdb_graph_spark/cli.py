@@ -182,6 +182,37 @@ def cmd_expire(args) -> int:
     return 0
 
 
+def cmd_lookup(args) -> int:
+    """Point lookup through the pruned read path (driver-side murmur3
+    bucket + manifest key-bounds file skipping): O(keys' buckets), never a
+    table scan."""
+    from .plans.lake import LakeTable
+
+    spark = _spark(args)
+    table = LakeTable(spark, args.table)
+    m = table.manifest()
+    pruned = table._prune_manifest_for_keys(m, args.key)
+    rows = [r.asDict() for r in table.read_keys(args.key).collect()]
+    for r in rows:
+        for k, v in r.items():
+            if isinstance(v, (bytes, bytearray)):
+                r[k] = f"<{len(v)} bytes>"
+            elif hasattr(v, "isoformat"):
+                r[k] = v.isoformat()
+    print(json.dumps({
+        "keys": args.key,
+        "found": len(rows),
+        "files_scanned": sum(
+            len(fl) for sec in ("files", "deltas")
+            for fl in pruned.get(sec, {}).values()),
+        "files_total": sum(
+            len(fl) for sec in ("files", "deltas")
+            for fl in m.get(sec, {}).values()),
+        "rows": rows,
+    }))
+    return 0
+
+
 def cmd_show(args) -> int:
     from .plans.lake import LakeTable
     from .streaming import stream_metrics
@@ -279,6 +310,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--no-vacuum", action="store_true")
     _add_common(p)
     p.set_defaults(fn=cmd_expire)
+
+    p = sub.add_parser("lookup", help="point lookup by key (bucket + file-bounds pruned read)")
+    p.add_argument("--table", required=True)
+    p.add_argument("--key", action="append", required=True,
+                   help="key value (repeatable)")
+    _add_common(p)
+    p.set_defaults(fn=cmd_lookup)
 
     p = sub.add_parser("show", help="table state, schema, lineage")
     p.add_argument("--table", required=True)

@@ -30,15 +30,22 @@ _TAG_RE = re.compile(rb"(?s)<[^>]*>")
 
 def extract_text(html_bytes: bytes | None) -> str | None:
     """Pure, deterministic html→text. Shared verbatim by the Spark UDF and
-    the pytest/pandas oracle (SURVEY.md §5 'byte-identical text')."""
+    the pytest/pandas oracle (SURVEY.md §5 'byte-identical text').
+
+    The fast-path guards (`<` / `&` membership tests are C-speed scans)
+    skip whole regex/unescape passes without changing a single output
+    byte: a sub() that cannot match and an unescape() with no ampersand
+    are identity transforms."""
     if html_bytes is None:
         return None
-    raw = bytes(html_bytes)
-    raw = _SCRIPT_RE.sub(b" ", raw)
-    raw = _COMMENT_RE.sub(b" ", raw)
-    raw = _TAG_RE.sub(b" ", raw)
+    raw = html_bytes if isinstance(html_bytes, bytes) else bytes(html_bytes)
+    if b"<" in raw:
+        raw = _SCRIPT_RE.sub(b" ", raw)
+        raw = _COMMENT_RE.sub(b" ", raw)
+        raw = _TAG_RE.sub(b" ", raw)
     text = raw.decode("utf-8", errors="replace")
-    text = _html.unescape(text)
+    if "&" in text:
+        text = _html.unescape(text)
     # collapse all unicode whitespace runs to single spaces, trim
     return " ".join(text.split())
 

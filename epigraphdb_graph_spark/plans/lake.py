@@ -89,6 +89,45 @@ def _parquet_num_rows(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def _spark_murmur3(data: bytes, seed: int = 42) -> int:
+    """Spark-compatible Murmur3 x86_32 over raw bytes (seed 42 = Spark's
+    ``F.hash`` default). Bit-identical to Catalyst's Murmur3Hash on a
+    string column: 4-byte little-endian words, then remaining bytes mixed
+    one SIGNED byte at a time (Spark's hashUnsafeBytes tail — not the
+    standard murmur3 tail). Lets the driver compute a key's bucket with
+    zero Spark jobs (point lookups, pruned reads)."""
+    M = 0xFFFFFFFF
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (32 - r))) & M
+
+    def mix_k1(k1: int) -> int:
+        k1 = (k1 * 0xCC9E2D51) & M
+        return (rotl(k1, 15) * 0x1B873593) & M
+
+    def mix_h1(h1: int, k1: int) -> int:
+        h1 ^= k1
+        return (rotl(h1, 13) * 5 + 0xE6546B64) & M
+
+    h1 = seed & M
+    n = len(data)
+    aligned = n - n % 4
+    for i in range(0, aligned, 4):
+        h1 = mix_h1(h1, mix_k1(int.from_bytes(data[i:i + 4], "little")))
+    for i in range(aligned, n):
+        b = data[i]
+        if b >= 0x80:
+            b -= 0x100  # sign-extended byte, as Java reads it
+        h1 = mix_h1(h1, mix_k1(b & M))
+    h1 ^= n
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & M
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & M
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
 class ConcurrentWriteError(RuntimeError):
     """A second writer committed between this writer's read and commit."""
 
@@ -302,6 +341,9 @@ class LakeTable:
             "files": {},   # bucket(str) -> [relative paths] (base files)
             "deltas": {},  # bucket(str) -> [relative paths] (MOR deltas)
             "file_rows": {},  # relative path -> row count (commit-time stats)
+            # relative path -> [key_min, key_max] (commit-time footer
+            # stats; drives read_keys file skipping)
+            "file_key_bounds": {},
             "ledger": {"hwm": {}, "recent": [], "applied_count": 0},
             "watermark_seq": -1,
             # event-time watermark (max warc_ts applied, unix micros):
@@ -570,6 +612,62 @@ class LakeTable:
             df = df.drop(*SYS_COLS)
         return df
 
+    def _prune_manifest_for_keys(self, m: dict, keys: list[str]) -> dict:
+        """Manifest view restricted to the files that can contain ``keys``:
+        bucket pruning (driver-side Spark-identical murmur3 — no job), then
+        file skipping on the manifest-resident ``file_key_bounds`` (the
+        Iceberg manifest-stats pruning analog). Conservative: a file with
+        no recorded bounds is kept. Safe for LWW resolution because
+        pruning only drops files that cannot hold a requested key — every
+        row of a requested key survives, and resolution is per-key."""
+        n = m["n_buckets"]
+        if m.get("bucket_hash") == "murmur3":
+            by_bucket: dict[str, list[str]] = {}
+            for k in keys:
+                b = str(_spark_murmur3(k.encode("utf-8")) % n)
+                by_bucket.setdefault(b, []).append(k)
+        else:
+            # legacy xxhash64 tables: no driver-side hash — bounds-only
+            # pruning over every bucket
+            by_bucket = {str(b): list(keys) for b in range(n)}
+        fkb = m.get("file_key_bounds", {})
+
+        def keep(f: str, ks: list[str]) -> bool:
+            b = fkb.get(f)
+            return b is None or any(b[0] <= k <= b[1] for k in ks)
+
+        def prune(section: dict) -> dict:
+            return {
+                b: [f for f in section.get(b, []) if keep(f, ks)]
+                for b, ks in by_bucket.items()
+                if section.get(b)
+            }
+
+        return {**m, "files": prune(m.get("files", {})),
+                "deltas": prune(m.get("deltas", {}))}
+
+    def read_keys(self, keys, *, version: int | None = None,
+                  with_system_cols: bool = False) -> DataFrame:
+        """Point lookup: current (or time-travel) rows for the given key
+        values, reading only the files that can contain them — O(keys'
+        buckets · matching files), never O(table). At 10^9-key scale a
+        single-url lookup touches one bucket's few files instead of the
+        whole table; pending deltas of those buckets resolve exactly as in
+        ``read()``."""
+        if isinstance(keys, str):
+            keys = [keys]
+        keys = list(keys)
+        m = self.manifest(version)
+        pruned = self._prune_manifest_for_keys(m, keys)
+        df = (
+            self._read_resolved(pruned)
+            .filter(F.col(m["key"]).isin(keys))
+            .filter(~F.col("_deleted"))
+        )
+        if not with_system_cols:
+            df = df.drop(*SYS_COLS)
+        return df
+
     def bucket_expr(self, key_col, n_buckets: int | None = None,
                     manifest: dict | None = None):
         m = manifest if manifest is not None else self.manifest()
@@ -622,26 +720,55 @@ class LakeTable:
                 )
         return files
 
-    def _scan_new_file_rows(self, files: dict[str, list[str]]) -> dict[str, int]:
-        """Per-file row counts for files THIS commit wrote (footer metadata
-        of just-written, page-cache-hot files). Recorded in the manifest's
-        ``file_rows`` so no later read or lineage pass re-touches footers."""
-        return {
-            f: _parquet_num_rows(os.path.join(self.path, f))
-            for fl in files.values()
-            for f in fl
-        }
+    def _scan_new_file_stats(
+        self, files: dict[str, list[str]], key: str
+    ) -> tuple[dict[str, int], dict[str, list]]:
+        """Per-file stats for files THIS commit wrote, from ONE footer
+        read each (metadata only, just-written and page-cache hot):
+        row counts (manifest ``file_rows``) and the key column's
+        [min, max] bounds (manifest ``file_key_bounds`` — parquet column-
+        chunk statistics aggregated over row groups). Recorded at commit
+        so no later read, lineage, or point-lookup pass re-touches
+        footers; bounds enable file skipping in ``read_keys`` (the
+        Iceberg manifest-stats pruning analog). A file whose key chunks
+        carry no stats gets no bounds entry (never pruned — safe)."""
+        import pyarrow.parquet as pq
+
+        rows: dict[str, int] = {}
+        bounds: dict[str, list] = {}
+        for fl in files.values():
+            for f in fl:
+                md = pq.ParquetFile(os.path.join(self.path, f)).metadata
+                rows[f] = md.num_rows
+                try:
+                    idx = md.schema.to_arrow_schema().get_field_index(key)
+                except KeyError:
+                    continue
+                lo = hi = None
+                ok = md.num_row_groups > 0
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                if ok and lo is not None:
+                    bounds[f] = [lo, hi]
+        return rows, bounds
 
     @staticmethod
-    def _updated_file_rows(
+    def _carry_file_stats(
         m: dict,
         files: dict[str, list[str]],
         deltas: dict[str, list[str]],
-        new_rows: dict[str, int],
-    ) -> dict[str, int]:
-        """Carry forward row counts for files still referenced, add this
-        commit's, drop retired ones — the map stays O(live files)."""
-        merged = {**m.get("file_rows", {}), **new_rows}
+        new_vals: dict,
+        field: str = "file_rows",
+    ) -> dict:
+        """Carry forward per-file stats (row counts / key bounds) for files
+        still referenced, add this commit's, drop retired ones — the map
+        stays O(live files)."""
+        merged = {**m.get(field, {}), **new_vals}
         referenced = {
             f for d in (files, deltas) for fl in d.values() for f in fl
         }
@@ -683,14 +810,16 @@ class LakeTable:
             self.bucket_expr(F.col(key), m["n_buckets"], manifest=m).alias("_bucket"),
         )
         files = self._write_snapshot(self._bucket_repartition(full, m), version)
-        new_rows = self._scan_new_file_rows(files)
+        new_rows, new_bounds = self._scan_new_file_stats(files, key)
         manifest = {
             **m,
             "version": version,
             "parent": m["version"],
             "schema": new_schema.jsonValue(),
             "files": files,
-            "file_rows": self._updated_file_rows(m, files, {}, new_rows),
+            "file_rows": self._carry_file_stats(m, files, {}, new_rows),
+            "file_key_bounds": self._carry_file_stats(
+                m, files, {}, new_bounds, "file_key_bounds"),
             "ledger": _ledger_add(m, batch_id),
             "metrics": {"op": "overwrite"},
         }
@@ -913,7 +1042,7 @@ class LakeTable:
                 else out.repartition(m["n_buckets"], F.col(key)), version)
         # per-file stats of the just-written files, recorded in the manifest
         # so reads/lineage never re-touch footers
-        new_rows = self._scan_new_file_rows(new_files)
+        new_rows, new_bounds = self._scan_new_file_stats(new_files, key)
 
         metrics = {}
         if collect_metrics and obs is not None:
@@ -959,7 +1088,9 @@ class LakeTable:
             "schema": new_schema.jsonValue(),
             "files": files,
             "deltas": deltas,
-            "file_rows": self._updated_file_rows(m, files, deltas, new_rows),
+            "file_rows": self._carry_file_stats(m, files, deltas, new_rows),
+            "file_key_bounds": self._carry_file_stats(
+                m, files, deltas, new_bounds, "file_key_bounds"),
             "ledger": _ledger_add(m, batch_id),
             "watermark_seq": watermark,
             "watermark_ts": wm_ts,
@@ -1045,7 +1176,7 @@ class LakeTable:
 
         # per-file stats of the just-written delta files — recorded in the
         # manifest so read-path delta sizing is dict lookups, never footer IO
-        new_rows = self._scan_new_file_rows(new_files)
+        new_rows, new_bounds = self._scan_new_file_stats(new_files, m["key"])
         metrics: dict = {"mode": "mor"}
         n_upserts = n_deletes = 0
         if collect_metrics and obs is not None:
@@ -1081,8 +1212,10 @@ class LakeTable:
             "parent": m["version"],
             "schema": new_schema.jsonValue(),
             "deltas": deltas,
-            "file_rows": self._updated_file_rows(
+            "file_rows": self._carry_file_stats(
                 m, m.get("files", {}), deltas, new_rows),
+            "file_key_bounds": self._carry_file_stats(
+                m, m.get("files", {}), deltas, new_bounds, "file_key_bounds"),
             "ledger": _ledger_add(m, batch_id),
             "watermark_seq": watermark,
             "watermark_ts": wm_ts,
@@ -1297,7 +1430,7 @@ class LakeTable:
         else:
             out = self._bucket_repartition(df, {**m, "n_buckets": new_n}, n_parts)
         new_files = self._write_snapshot(out, version)
-        new_rows = self._scan_new_file_rows(new_files)
+        new_rows, new_bounds = self._scan_new_file_stats(new_files, m["key"])
         if full:
             files, deltas = new_files, {}
         else:
@@ -1310,8 +1443,10 @@ class LakeTable:
                 deltas.pop(str(b), None)
         self._commit({**m, "version": version, "parent": m["version"],
                       "n_buckets": new_n, "files": files, "deltas": deltas,
-                      "file_rows": self._updated_file_rows(
+                      "file_rows": self._carry_file_stats(
                           m, files, deltas, new_rows),
+                      "file_key_bounds": self._carry_file_stats(
+                          m, files, deltas, new_bounds, "file_key_bounds"),
                       "metrics": {"op": "compact", "n_buckets": new_n,
                                   "full": full,
                                   "rewritten_buckets": (new_n if full

@@ -77,7 +77,8 @@ def gen_log(log_dir: str, n_events: int, body_repeat: int) -> None:
     ])
 
 
-def run_level(cores: int, log_dir: str, mode: str, body_repeat: int) -> dict:
+def run_level(cores: int, log_dir: str, mode: str, body_repeat: int,
+              strategy: str = "filter") -> dict:
     tmp = tempfile.mkdtemp(prefix=f"scale_{cores}_")
     try:
         cmd = [
@@ -89,12 +90,13 @@ def run_level(cores: int, log_dir: str, mode: str, body_repeat: int) -> dict:
             "--mode", mode, "--master", f"local[{cores}]", "--warmup",
         ]
         if mode == "mor":
-            # winner FILTER, explicitly: the log is parquet, so the pruned
-            # winners pass reads 3 columns and payloads never shuffle —
-            # the strategy built for column-prunable sources (measured
-            # fastest from-log at both core counts; the supersede-ratio
-            # auto policy targets sources without column pruning)
-            cmd += ["--compact-every", "4", "--mor-dedup", "filter"]
+            # strategy pinned IDENTICAL at both levels (same physical job).
+            # "filter": pruned winners pass reads 3 columns, loser payloads
+            # never read (column-prunable parquet log). "agg": single-job
+            # exchange-first dedup — round-3 measurements have it faster in
+            # absolute terms at both 1 and 4 cores on the 7 KB from-log
+            # shape (46.1s vs 55.3s @1 core, 200k events).
+            cmd += ["--compact-every", "4", "--mor-dedup", strategy]
         return _cli(cmd)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -106,6 +108,7 @@ def main():
     body_repeat = int(sys.argv[3]) if len(sys.argv) > 3 else 100
     runs = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     n_lo = int(sys.argv[5]) if len(sys.argv) > 5 else DEFAULT_N
+    strategy = sys.argv[6] if len(sys.argv) > 6 else "filter"
     core_pair = (n_lo, 4 * n_lo)
 
     log_dir = tempfile.mkdtemp(prefix="scale_log_") + "/changelog"
@@ -118,7 +121,7 @@ def main():
     try:
         for t in range(runs):
             for cores in core_pair:
-                r = run_level(cores, log_dir, mode, body_repeat)
+                r = run_level(cores, log_dir, mode, body_repeat, strategy)
                 print(f"local[{cores}] run{t}: {r['wall_s']}s  "
                       f"{r['events_per_sec']} events/sec  final_rows={r['final_rows']}")
                 if cores not in best or r["events_per_sec"] > best[cores]["events_per_sec"]:
@@ -136,7 +139,7 @@ def main():
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
     path = os.path.join(ROOT, "BENCH", "BASELINE.md")
     row = (
-        f"| {stamp} | {mode}-fromlog | {n_events} | {70 * body_repeat} "
+        f"| {stamp} | {mode}-fromlog-{strategy} | {n_events} | {70 * body_repeat} "
         f"| {lo}->{hi} | {tp_lo} | {tp_hi} | {eff:.3f} "
         f"| {best[hi]['final_rows']} |\n"
     )

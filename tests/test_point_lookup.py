@@ -1,0 +1,110 @@
+"""Point-lookup path: driver-side Spark-identical murmur3 bucketing +
+manifest-resident file key bounds -> read only the files that can contain
+the requested keys (Iceberg manifest-stats pruning analog).
+
+Reference parity: the reference serves per-entity lookups from Neo4j
+indexes after the bulk build (workflow/Snakefile graph build targets);
+the engine's analog is an O(bucket) pruned scan against the lake table.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from epigraphdb_graph_spark.plans.lake import LakeTable, _spark_murmur3
+from epigraphdb_graph_spark.replay import replay
+from epigraphdb_graph_spark.sources.events import generate_change_events
+
+
+def test_spark_murmur3_matches_engine_hash(spark):
+    """The pure-python murmur3 must be bit-identical to Catalyst's
+    F.hash on strings (else driver-side bucketing would read the wrong
+    bucket and silently return empty lookups)."""
+    samples = [
+        "", "a", "ab", "abc", "abcd", "abcde", "http://example.com/x?q=1",
+        "ünïcødé-ключ-键", "x" * 100, "trailing/", "1234567",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "k string")
+    got = {r["k"]: r["h"] for r in df.select("k", F.hash("k").alias("h")).collect()}
+    for s in samples:
+        assert _spark_murmur3(s.encode("utf-8")) == got[s], s
+
+
+@pytest.fixture()
+def mor_table(spark, tmp_path):
+    """A MOR table with pending deltas (unresolved winners) AND several
+    base files carrying recorded key bounds."""
+    path = str(tmp_path / "pages")
+    ev = generate_change_events(spark, 4000, seed=7, n_domains=8,
+                                pages_per_domain=32)
+    # two batches compacted (base files), then two more left as deltas
+    replay(spark, path, ev.filter(F.col("event_seq") < 2000),
+           n_batches=2, n_buckets=8, mode="mor")
+    t = LakeTable(spark, path)
+    t.compact()
+    replay(spark, path, ev, n_batches=4, n_buckets=8, mode="mor")
+    return LakeTable(spark, path)
+
+
+def test_read_keys_equals_filtered_read(spark, mor_table):
+    t = mor_table
+    state = t.read()
+    urls = [r["url"] for r in state.select("url").distinct().limit(5).collect()]
+    assert urls
+    via_lookup = t.read_keys(urls).orderBy("url").collect()
+    via_filter = state.filter(F.col("url").isin(urls)).orderBy("url").collect()
+    assert via_lookup == via_filter
+    # an absent key probes empty (its bucket is scanned, nothing matches)
+    assert t.read_keys(["definitely-not-a-url"]).count() == 0
+
+
+def test_read_keys_prunes_files(spark, mor_table):
+    t = mor_table
+    m = t.manifest()
+    # commit-time footer stats were recorded for every live file
+    live = [f for fl in m["files"].values() for f in fl]
+    live += [f for fl in m.get("deltas", {}).values() for f in fl]
+    assert live
+    bounds = m.get("file_key_bounds", {})
+    assert set(bounds) == set(live)
+    for lo, hi in bounds.values():
+        assert lo <= hi
+
+    url = t.read().select("url").first()["url"]
+    pruned = t._prune_manifest_for_keys(m, [url])
+    kept = [f for fl in pruned["files"].values() for f in fl]
+    kept += [f for fl in pruned["deltas"].values() for f in fl]
+    # bucket pruning alone must cut to ~1/n_buckets of the files
+    assert 0 < len(kept) < len(live)
+    # the surviving buckets are exactly the key's bucket
+    want = str(_spark_murmur3(url.encode("utf-8")) % m["n_buckets"])
+    assert set(pruned["files"]) | set(pruned["deltas"]) <= {want}
+    # and the lookup still returns the row
+    assert t.read_keys(url).count() == 1
+
+
+def test_read_keys_sees_delta_winners_and_tombstones(spark, tmp_path):
+    """A key whose latest event sits in an unresolved delta must resolve
+    through read_keys exactly as through read(); a tombstoned key must
+    come back empty."""
+    path = str(tmp_path / "t")
+    ev = generate_change_events(spark, 3000, seed=11, n_domains=4,
+                                pages_per_domain=16)
+    replay(spark, path, ev, n_batches=3, n_buckets=4, mode="mor")
+    t = LakeTable(spark, path)
+    sys_state = t.read(with_system_cols=True)
+    live = {r["url"] for r in t.read().select("url").collect()}
+    # pick a tombstoned key if the generator produced one
+    all_keys = {
+        r["url"]
+        for r in t._read_resolved(t.manifest()).select("url").collect()
+    }
+    dead = sorted(all_keys - live)
+    if dead:
+        assert t.read_keys(dead[0]).count() == 0
+    probe = sorted(live)[0]
+    row = t.read_keys(probe).collect()
+    expect = t.read().filter(F.col("url") == probe).collect()
+    assert row == expect
+    assert sys_state.count() == len(live)
