@@ -1429,6 +1429,12 @@ class LakeTable:
                 out = out.dropDuplicates([m["key"]])
         else:
             out = self._bucket_repartition(df, {**m, "n_buckets": new_n}, n_parts)
+        # key-sorted base files (Iceberg sort-order analog): a partition-
+        # local, spill-safe sort on a rewrite that is happening anyway.
+        # Tightens parquet row-group key stats so point lookups
+        # (read_keys -> isin pushdown) prune ROW GROUPS inside multi-GB
+        # bucket files, not just whole files via file_key_bounds.
+        out = out.sortWithinPartitions(m["key"])
         new_files = self._write_snapshot(out, version)
         new_rows, new_bounds = self._scan_new_file_stats(new_files, m["key"])
         if full:

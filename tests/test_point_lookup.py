@@ -108,3 +108,24 @@ def test_read_keys_sees_delta_winners_and_tombstones(spark, tmp_path):
     expect = t.read().filter(F.col("url") == probe).collect()
     assert row == expect
     assert sys_state.count() == len(live)
+
+
+def test_compact_writes_key_sorted_files(spark, mor_table):
+    """compact() emits key-sorted base files (partition-local sort on the
+    rewrite that's happening anyway) so parquet row-group stats prune
+    inside files for point lookups."""
+    import pyarrow.parquet as pq
+    import os
+
+    t = mor_table
+    t.compact()
+    m = t.manifest()
+    checked = 0
+    for fl in m["files"].values():
+        for f in fl:
+            col = pq.read_table(os.path.join(t.path, f), columns=["url"])["url"].to_pylist()
+            assert col == sorted(col), f
+            checked += 1
+    assert checked > 0
+    # state unchanged by the sorted rewrite
+    assert t.read_keys(t.read().select("url").first()["url"]).count() == 1
