@@ -1857,6 +1857,69 @@ def q58(spark, sf):
     )
 
 
+@_q("q63_url_normalize", """
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.org/p/'
+           || CAST(doc_id % 7 AS VARCHAR) || '/x'
+           || CAST(doc_id AS VARCHAR) || '.html'
+           || CASE WHEN doc_id % 3 = 0
+                   THEN '?utm_source=feed&ref=' || CAST(doc_id % 5 AS VARCHAR)
+                        || '&utm_campaign=c'
+                   WHEN doc_id % 3 = 1
+                   THEN '?id=' || CAST(doc_id AS VARCHAR)
+                   ELSE '' END AS url
+  FROM documents
+),
+p AS (
+  SELECT doc_id,
+         regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+         regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+         nullif(regexp_extract(url, '\\?([^#]*)', 1), '') AS query
+  FROM u
+),
+c AS (
+  SELECT doc_id, host, path, query,
+         array_to_string(
+           list_filter(str_split(query, '&'),
+                       x -> NOT starts_with(x, 'utm_')), '&') AS clean
+  FROM p
+)
+SELECT doc_id, host, path,
+       len(list_filter(str_split(path, '/'), x -> x <> '')) AS depth,
+       host || path || CASE WHEN query IS NOT NULL AND clean <> ''
+                            THEN '?' || clean ELSE '' END AS canonical
+FROM c
+""")
+def q63(spark, sf):
+    """URL normalization (functions/urls.py): host/path split via
+    parse_url, path depth, utm_* tracking-param strip into a canonical
+    page key — all JVM higher-order expressions, zero UDFs. Urls are
+    derived deterministically from (doc_id, source) identically in both
+    engines; the oracle re-implements the parsing with DuckDB regex +
+    list lambdas, so equality is a genuine cross-engine semantics check
+    (generalizes the reference's per-source id-curation transforms,
+    workflow/scripts/rels/gwas-gencor.py:52-58)."""
+    from epigraphdb_graph_spark.functions.urls import with_url_parts
+
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/p/"),
+        (i % 7).cast("string"), F.lit("/x"), i.cast("string"),
+        F.lit(".html"),
+        F.when(i % 3 == 0, F.concat(
+            F.lit("?utm_source=feed&ref="), (i % 5).cast("string"),
+            F.lit("&utm_campaign=c")))
+        .when(i % 3 == 1, F.concat(F.lit("?id="), i.cast("string")))
+        .otherwise(F.lit("")),
+    )
+    return (
+        with_url_parts(d.withColumn("url", url))
+        .select("doc_id", "host", "path", "depth", "canonical")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

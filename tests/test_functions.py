@@ -114,3 +114,31 @@ def test_generator_deterministic(spark):
     pd.testing.assert_frame_equal(a, b)
     c = generate_change_events(spark, 300, seed=43).toPandas()
     assert not a["url"].equals(c["url"])
+
+
+def test_url_parts_and_canonicalization(spark):
+    from epigraphdb_graph_spark.functions.urls import with_url_parts
+
+    rows = [
+        ("https://a.example.org/p/1/x.html?utm_source=f&ref=2&utm_campaign=c",),
+        ("https://b.example.org/q?utm_source=f",),
+        ("https://c.example.org/",),
+        ("http://d.example.org/deep/n/est/ed?id=9",),
+    ]
+    out = {
+        r["url"]: r
+        for r in with_url_parts(
+            spark.createDataFrame(rows, "url string")
+        ).collect()
+    }
+    r = out[rows[0][0]]
+    assert (r["host"], r["depth"]) == ("a.example.org", 3)
+    assert r["canonical"] == "a.example.org/p/1/x.html?ref=2"
+    # query entirely consumed by tracking params -> dropped, no dangling '?'
+    assert out[rows[1][0]]["canonical"] == "b.example.org/q"
+    # no query at all
+    assert out[rows[2][0]]["canonical"] == "c.example.org/"
+    assert out[rows[2][0]]["depth"] == 0
+    # scheme is dropped; non-tracking query survives verbatim
+    assert out[rows[3][0]]["canonical"] == "d.example.org/deep/n/est/ed?id=9"
+    assert out[rows[3][0]]["depth"] == 4
