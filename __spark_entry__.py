@@ -1920,6 +1920,60 @@ def q63(spark, sf):
     )
 
 
+@_q("q64_graph_import", """
+SELECT CAST(n_nationkey AS VARCHAR) AS id,
+       n_name AS name,
+       CAST(n_regionkey AS BIGINT) AS region,
+       'epigraphdb|' || lower(n_name) AS src
+FROM nation
+""")
+def q64(spark, sf):
+    """S5 graph-database scan: a neo4j-admin bulk-import pair (typed
+    one-line .header + headerless csv.gz, the reference's interchange —
+    utils/writers.py:150-190, create_master_import.py:74) is synthesized
+    deterministically from the nation table, then read back through
+    read_graph_import. The oracle recomputes the same typed projection
+    straight from the table, so equality proves the header-driven
+    schema-by-position scan, casts, and string[] array split."""
+    import gzip
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from epigraphdb_graph_spark.sources.readers import read_graph_import
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "graft_q64_" + hashlib.md5(sf.encode()).hexdigest()[:8],
+    )
+    os.makedirs(d, exist_ok=True)
+    data, hdr = os.path.join(d, "nation.csv.gz"), os.path.join(d, "nation.header")
+    if not (os.path.exists(data) and os.path.exists(hdr)):
+        t = (
+            pq.read_table(
+                os.path.join(sf, "nation.parquet"),
+                columns=["n_nationkey", "n_name", "n_regionkey"],
+            )
+            .to_pandas()
+            .sort_values("n_nationkey")
+        )
+        with open(hdr, "w") as f:
+            f.write("id:ID(Nation-ID),name:string,region:int,_source:string[]\n")
+        with gzip.open(data, "wt") as f:
+            for r in t.itertuples(index=False):
+                f.write(
+                    f"{r.n_nationkey},{r.n_name},{r.n_regionkey},"
+                    f"epigraphdb;{r.n_name.lower()}\n"
+                )
+    nodes = read_graph_import(spark, data, hdr)
+    return nodes.select(
+        "id",
+        F.col("name"),
+        F.col("region"),
+        F.array_join("_source", "|").alias("src"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

@@ -141,3 +141,114 @@ def read_wide_matrix(
     value_cols = [c for c in df.columns if c not in id_cols]
     out = df.unpivot(id_cols, value_cols, var_name, value_name)
     return out.withColumn(value_name, F.col(value_name).cast(value_type))
+
+
+# ---------------------------------------------------------------------------
+# S5: graph-database scan — the reference's bulk-import interchange format.
+# ---------------------------------------------------------------------------
+
+#: neo4j-admin header type -> Spark cast target (scalar part)
+_NEO4J_TYPES = {
+    "int": "long",
+    "long": "long",
+    "float": "double",
+    "double": "double",
+    "boolean": "boolean",
+    "string": "string",
+    "datetime": "timestamp",
+    "date": "date",
+}
+
+#: reserved (property-less) header fields -> synthetic column names
+_NEO4J_RESERVED = {"LABEL": "_label", "TYPE": "_type"}
+
+
+def parse_graph_header(line: str, sep: str = ",") -> list[dict]:
+    """Parse one neo4j-admin import header line into column specs.
+
+    The reference emits headers like
+    ``id:ID(Gwas-ID),year:int,_source:string[]`` for nodes and
+    ``:START_ID(Gwas-ID),:END_ID(Variant-ID),beta:float`` for rels
+    (workflow/scripts/utils/writers.py:150-190). Each spec carries the
+    field name the property keeps in the scan, the Spark type to cast
+    to, whether it is an array (``type[]`` — ';'-delimited in the data
+    file), and its graph role (``id``/``start_id``/``end_id``/
+    ``label``/``type``/``property``) plus the id-space tag from the
+    parenthesised group.
+    """
+    specs = []
+    for raw in line.strip().split(sep):
+        name, _, typ = raw.partition(":")
+        id_space = None
+        if "(" in typ:
+            typ, _, grp = typ.partition("(")
+            id_space = grp.rstrip(")") or None
+        typ = typ.strip()
+        is_array = typ.endswith("[]")
+        scalar = typ[:-2] if is_array else typ
+        if scalar in ("ID", "START_ID", "END_ID"):
+            role = scalar.lower()
+            cast = "string"  # id spaces are opaque strings in the import
+            name = name or {"ID": "_id", "START_ID": "_start_id",
+                            "END_ID": "_end_id"}[scalar]
+        elif scalar in _NEO4J_RESERVED:
+            role = scalar.lower()
+            cast = "string"
+            name = name or _NEO4J_RESERVED[scalar]
+        else:
+            role = "property"
+            cast = _NEO4J_TYPES.get(scalar, "string")
+        specs.append(
+            {"name": name, "cast": cast, "array": is_array,
+             "role": role, "id_space": id_space}
+        )
+    return specs
+
+
+def read_graph_import(
+    spark: SparkSession,
+    data_path: str,
+    header_path: str,
+    *,
+    sep: str = ",",
+    array_delimiter: str = ";",
+) -> DataFrame:
+    """S5 graph-database scan: read a neo4j-admin bulk-import pair
+    (separate one-line ``.header`` file + headerless ``.csv[.gz]`` data,
+    the exact layout the reference's create_import emits and its
+    ``neo4j-admin import`` consumes —
+    workflow/scripts/graph_build/create_master_import.py:74,
+    utils/writers.py:186-190).
+
+    The header is one tiny driver-side read; the data file is a normal
+    schema-by-position CSV scan (pushdown/pruning intact, gzip
+    transparent), then one projection casts every property to its
+    declared type and splits ``type[]`` arrays on the neo4j array
+    delimiter. Column order, names, and graph roles (ID / START_ID /
+    END_ID) follow the header, so round-tripping the reference's import
+    directories yields typed DataFrames without any Neo4j instance.
+    """
+    hdr = (
+        spark.read.text(header_path)
+        .limit(1)
+        .collect()[0]["value"]
+    )
+    specs = parse_graph_header(hdr, sep=sep)
+    raw = read_headerless(
+        spark, data_path, [s["name"] for s in specs], sep=sep
+    )
+    cols = []
+    for s in specs:
+        c = F.col(s["name"])
+        if s["array"]:
+            c = F.when(
+                c.isNotNull(),
+                F.transform(
+                    F.split(c, array_delimiter),
+                    lambda x: x.cast(s["cast"]),
+                ),
+            )
+        else:
+            c = c.cast(s["cast"])
+        cols.append(c.alias(s["name"]))
+    return raw.select(*cols)

@@ -149,3 +149,40 @@ def test_ingest_all_consolidates(spark, data_dir):
     assert out.loc["G1", "symbol"] == "ABC"          # priority: srcA first
     assert out.loc["G9", "symbol"] == "NEW"
     assert sorted(out.loc["G1", "_source"]) == ["srcA", "srcB"]
+
+
+def test_graph_import_roundtrip(spark, tmp_path):
+    """S5: neo4j-admin bulk-import pair (typed .header + headerless
+    .csv.gz) reads back as a typed DataFrame — nodes with ID space,
+    int/float casts, string[] arrays; rels with START/END/TYPE."""
+    from epigraphdb_graph_spark.sources.readers import read_graph_import
+
+    with gzip.open(tmp_path / "gwas.csv.gz", "wt") as f:
+        f.write("ieu-a-1,2015,0.46,MRC;IEU\n")
+        f.write("ieu-a-2,,,solo\n")
+    (tmp_path / "gwas.header").write_text(
+        "id:ID(Gwas-ID),year:int,sd:float,_source:string[]\n"
+    )
+    nodes = read_graph_import(
+        spark, str(tmp_path / "gwas.csv.gz"), str(tmp_path / "gwas.header")
+    )
+    assert [f.simpleString() for f in nodes.schema.fields] == [
+        "id:string", "year:bigint", "sd:double", "_source:array<string>",
+    ]
+    rows = {r["id"]: r for r in nodes.collect()}
+    assert rows["ieu-a-1"]["year"] == 2015
+    assert rows["ieu-a-1"]["sd"] == pytest.approx(0.46)
+    assert rows["ieu-a-1"]["_source"] == ["MRC", "IEU"]
+    assert rows["ieu-a-2"]["year"] is None and rows["ieu-a-2"]["_source"] == ["solo"]
+
+    (tmp_path / "rel.csv").write_text("ieu-a-1,rs123,0.12,GWAS_TO_VARIANT\n")
+    (tmp_path / "rel.header").write_text(
+        ":START_ID(Gwas-ID),:END_ID(Variant-ID),beta:float,:TYPE\n"
+    )
+    rels = read_graph_import(
+        spark, str(tmp_path / "rel.csv"), str(tmp_path / "rel.header")
+    )
+    r = rels.collect()[0]
+    assert (r["_start_id"], r["_end_id"], r["_type"]) == (
+        "ieu-a-1", "rs123", "GWAS_TO_VARIANT")
+    assert r["beta"] == pytest.approx(0.12)
