@@ -1920,6 +1920,19 @@ def q63(spark, sf):
     )
 
 
+@_q("q65_schema_introspect", """
+SELECT CAST(cid AS INT) AS ordinal, name AS col
+FROM pragma_table_info('lineitem')
+""")
+def q65(spark, sf):
+    """R4 columns->rows: the table's own column metadata as a relation
+    (ref tissue nodes from GCT header names, nodes/tissue/gtex.py:31-35).
+    Driver-side schema introspection vs DuckDB's pragma_table_info."""
+    from epigraphdb_graph_spark.sources.readers import columns_as_rows
+
+    return columns_as_rows(_t(spark, sf, "lineitem"))
+
+
 @_q("q64_graph_import", """
 SELECT CAST(n_nationkey AS VARCHAR) AS id,
        n_name AS name,

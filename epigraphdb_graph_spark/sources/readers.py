@@ -252,3 +252,23 @@ def read_graph_import(
             c = c.cast(s["cast"])
         cols.append(c.alias(s["name"]))
     return raw.select(*cols)
+
+
+def columns_as_rows(
+    df: DataFrame,
+    *,
+    skip: int = 0,
+    name: str = "col",
+    ordinal: str = "ordinal",
+) -> DataFrame:
+    """R4 columns->rows: derive an entity table from a frame's *column
+    names* (ref GTEx tissue nodes = matrix header names,
+    nodes/tissue/gtex.py:31-35). Schema introspection is driver-side
+    metadata — no Spark job touches the data; the result is a tiny
+    local relation (broadcast-join fodder) with the original column
+    position preserved in ``ordinal``.
+    """
+    rows = [(i, c) for i, c in enumerate(df.columns)][skip:]
+    return df.sparkSession.createDataFrame(
+        rows, f"{ordinal} int, {name} string"
+    )

@@ -186,3 +186,13 @@ def test_graph_import_roundtrip(spark, tmp_path):
     assert (r["_start_id"], r["_end_id"], r["_type"]) == (
         "ieu-a-1", "rs123", "GWAS_TO_VARIANT")
     assert r["beta"] == pytest.approx(0.12)
+
+
+def test_columns_as_rows(spark, data_dir):
+    """R4: entity table from column names (GTEx tissue-node shape)."""
+    from epigraphdb_graph_spark.sources.readers import columns_as_rows
+
+    wide = read_delimited(spark, f"{data_dir}/genes.csv.gz", comment="#")
+    out = columns_as_rows(wide, skip=1, name="tissue").collect()
+    assert [(r["ordinal"], r["tissue"]) for r in out] == [
+        (1, "symbol"), (2, "score")]
