@@ -1920,6 +1920,68 @@ def q63(spark, sf):
     )
 
 
+@_q("q66_mysql_dump_scan", """
+SELECT s_suppkey, s_name, s_nationkey,
+       CASE WHEN s_suppkey % 5 = 0 THEN NULL
+            ELSE CAST(s_acctbal AS DOUBLE) END AS acctbal
+FROM supplier
+""")
+def q66(spark, sf):
+    """S6 MySQL-dump scan: a mysqldump .sql.gz with INSERT statements is
+    synthesized deterministically from the supplier table (names carry
+    `'` doubling; every 5th acctbal is SQL NULL), then parsed back by
+    read_mysql_dump's quote-aware Arrow scanner (ref
+    workflow/scripts/source/mysql_to_csv.py:14-95). The oracle recomputes
+    the same projection from the table, proving escape handling, NULL
+    semantics, and positional typed casts."""
+    import gzip
+    import hashlib
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from epigraphdb_graph_spark.sources.readers import read_mysql_dump
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "graft_q66_" + hashlib.md5(sf.encode()).hexdigest()[:8],
+    )
+    os.makedirs(d, exist_ok=True)
+    dump = os.path.join(d, "supplier.sql.gz")
+    if not os.path.exists(dump):
+        t = (
+            pq.read_table(
+                os.path.join(sf, "supplier.parquet"),
+                columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+            )
+            .to_pandas()
+            .sort_values("s_suppkey")
+        )
+        with gzip.open(dump, "wt") as f:
+            f.write("-- MySQL dump (synthesized)\n")
+            vals = []
+            for r in t.itertuples(index=False):
+                name = str(r.s_name).replace("'", "''")
+                bal = ("NULL" if r.s_suppkey % 5 == 0
+                       else repr(float(r.s_acctbal)))
+                vals.append(
+                    f"({r.s_suppkey},'{name}',{r.s_nationkey},{bal})"
+                )
+            f.write("INSERT INTO `supplier` VALUES " + ",".join(vals) + ";\n")
+            f.write("INSERT INTO `other` VALUES (0,'x',0,0);\n")
+    return read_mysql_dump(
+        spark,
+        dump,
+        T.StructType([
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.LongType()),
+            T.StructField("acctbal", T.DoubleType()),
+        ]),
+        table="supplier",
+    )
+
+
 @_q("q65_schema_introspect", """
 SELECT CAST(cid AS INT) AS ordinal, name AS col
 FROM pragma_table_info('lineitem')

@@ -272,3 +272,117 @@ def columns_as_rows(
     return df.sparkSession.createDataFrame(
         rows, f"{ordinal} int, {name} string"
     )
+
+
+# ---------------------------------------------------------------------------
+# S6: MySQL-dump scan — INSERT statements -> typed rows, no MySQL server.
+# ---------------------------------------------------------------------------
+
+_MYSQL_ESCAPES = {
+    "0": "\0", "'": "'", '"': '"', "b": "\b", "n": "\n",
+    "r": "\r", "t": "\t", "Z": "\x1a", "\\": "\\", "%": "%", "_": "_",
+}
+
+
+def parse_insert_values(payload: str) -> list[list[str | None]]:
+    """Parse the ``(...),(...)`` payload of a MySQL ``INSERT`` statement
+    into rows of raw values (``None`` for SQL NULL).
+
+    A single character scan handles single-quoted strings with backslash
+    escapes and ``''`` doubling — the two quoting forms mysqldump emits —
+    so embedded commas, parens, and quotes in string values are safe
+    (the failure modes of a naive ``split("),(")``). Pure function:
+    unit-testable without Spark, shared by the executor-side batches.
+    (Behavioral reference: workflow/scripts/source/mysql_to_csv.py:38-95,
+    which streams the same payloads through a csv.reader trick.)
+    """
+    rows, cur, val = [], [], []
+    i, n, in_row, in_str = 0, len(payload), False, False
+    quoted = False  # value came from a quoted string: verbatim, never NULL
+
+    def finish():
+        s = "".join(val)
+        if quoted:
+            return s
+        s = s.strip()
+        return None if s.upper() == "NULL" else s
+
+    while i < n:
+        c = payload[i]
+        if in_str:
+            if c == "\\" and i + 1 < n:
+                val.append(_MYSQL_ESCAPES.get(payload[i + 1], payload[i + 1]))
+                i += 2
+                continue
+            if c == "'":
+                if i + 1 < n and payload[i + 1] == "'":  # '' doubling
+                    val.append("'")
+                    i += 2
+                    continue
+                in_str = False
+                i += 1
+                continue
+            val.append(c)
+        elif not in_row:
+            if c == "(":
+                in_row, cur, val, quoted = True, [], [], False
+        elif c == "'":
+            in_str = quoted = True
+        elif c == ",":
+            cur.append(finish())
+            val, quoted = [], False
+        elif c == ")":
+            if val or quoted or cur:
+                cur.append(finish())
+            rows.append(cur)
+            in_row = False
+        elif not c.isspace():
+            val.append(c)
+        i += 1
+    return rows
+
+
+def read_mysql_dump(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | T.StructType,
+    *,
+    table: str | None = None,
+) -> DataFrame:
+    """S6 MySQL-dump scan: extract ``INSERT INTO`` rows for ``table``
+    from a mysqldump .sql[.gz] file as a typed DataFrame.
+
+    The dump is read as lines (gzip transparent, splittable across
+    executors — mysqldump puts each INSERT statement on one line), each
+    partition's statements are parsed by the pure quote-aware scanner in
+    one Arrow ``mapInPandas`` pass, and a final projection casts by
+    position exactly like :func:`read_headerless`. No MySQL server, no
+    driver-side loop.
+    """
+    if isinstance(columns, T.StructType):
+        schema = columns
+    else:
+        schema = T.StructType(
+            [T.StructField(c, T.StringType(), True) for c in columns]
+        )
+    names = [f.name for f in schema.fields]
+    raw = T.StructType([T.StructField(c, T.StringType(), True) for c in names])
+    prefix = f"INSERT INTO `{table}`" if table else "INSERT INTO "
+    lines = spark.read.text(path).where(F.col("value").startswith(prefix))
+
+    def parse(batches):
+        import pandas as pd
+
+        for b in batches:
+            out = []
+            for line in b["value"]:
+                payload = line.partition(" VALUES ")[2]
+                for r in parse_insert_values(payload):
+                    if len(r) == len(names):
+                        out.append(r)
+            yield pd.DataFrame(out, columns=names, dtype=object)
+
+    parsed = lines.mapInPandas(parse, schema=raw)
+    return parsed.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )

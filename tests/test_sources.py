@@ -196,3 +196,39 @@ def test_columns_as_rows(spark, data_dir):
     out = columns_as_rows(wide, skip=1, name="tissue").collect()
     assert [(r["ordinal"], r["tissue"]) for r in out] == [
         (1, "symbol"), (2, "score")]
+
+
+def test_mysql_dump_scan(spark, tmp_path):
+    """S6: mysqldump INSERT statements -> typed rows (quote/escape-aware,
+    gzip transparent, other tables' statements filtered out)."""
+    from epigraphdb_graph_spark.sources.readers import read_mysql_dump
+
+    dump = (
+        "-- MySQL dump 10.13\n"
+        "CREATE TABLE `study` (id int);\n"
+        "INSERT INTO `study` VALUES "
+        "(1,'GWAS of height, v2',2015,NULL),"
+        "(2,'it''s complicated',2016,0.5),"
+        "(3,'tab\\tsep (weird)',NULL,-1.25);\n"
+        "INSERT INTO `other` VALUES (9,'ignore me',0,0);\n"
+        "INSERT INTO `study` VALUES (4,'NULL',2020,3e-2);\n"
+    )
+    with gzip.open(tmp_path / "dump.sql.gz", "wt") as f:
+        f.write(dump)
+    df = read_mysql_dump(
+        spark,
+        str(tmp_path / "dump.sql.gz"),
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("year", T.IntegerType()),
+            T.StructField("beta", T.DoubleType()),
+        ]),
+        table="study",
+    )
+    rows = {r["id"]: r for r in df.collect()}
+    assert sorted(rows) == [1, 2, 3, 4]
+    assert rows[1]["name"] == "GWAS of height, v2" and rows[1]["beta"] is None
+    assert rows[2]["name"] == "it's complicated" and rows[2]["beta"] == 0.5
+    assert rows[3]["name"] == "tab\tsep (weird)" and rows[3]["year"] is None
+    assert rows[4]["name"] == "NULL" and rows[4]["beta"] == pytest.approx(0.03)
