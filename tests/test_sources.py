@@ -232,3 +232,37 @@ def test_mysql_dump_scan(spark, tmp_path):
     assert rows[2]["name"] == "it's complicated" and rows[2]["beta"] == 0.5
     assert rows[3]["name"] == "tab\tsep (weird)" and rows[3]["year"] is None
     assert rows[4]["name"] == "NULL" and rows[4]["beta"] == pytest.approx(0.03)
+
+
+def test_stage_files_rsync_semantics(spark, tmp_path):
+    """S7: Hadoop-FS staging — glob copy, length verify, idempotent skip,
+    overwrite on size change."""
+    from epigraphdb_graph_spark.sources.staging import (
+        StagingError, stage_files, staging_manifest)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.csv").write_text("x,y\n1,2\n")
+    (src / "b.csv").write_text("x,y\n3,4\n5,6\n")
+    (src / "c.txt").write_text("not matched")
+    dest = str(tmp_path / "staged")
+
+    got = stage_files(spark, f"{src}/*.csv", dest)
+    assert sorted((g.action, g.src.split("/")[-1]) for g in got) == [
+        ("copied", "a.csv"), ("copied", "b.csv")]
+    assert (tmp_path / "staged" / "a.csv").read_text() == "x,y\n1,2\n"
+
+    # re-run: same sizes -> all skipped
+    again = stage_files(spark, f"{src}/*.csv", dest)
+    assert {g.action for g in again} == {"skipped"}
+
+    # source grew -> re-copied
+    (src / "a.csv").write_text("x,y\n1,2\n9,9\n")
+    third = {g.src.split("/")[-1]: g.action for g in stage_files(spark, f"{src}/*.csv", dest)}
+    assert third == {"a.csv": "copied", "b.csv": "skipped"}
+
+    m = staging_manifest(spark, got).collect()
+    assert len(m) == 2 and all(r["bytes"] > 0 for r in m)
+
+    with pytest.raises(StagingError, match="no files match"):
+        stage_files(spark, f"{src}/*.nope", dest)
