@@ -43,7 +43,16 @@ def cmd_replay(args) -> int:
 
     spark = _spark(args)
     if args.log_dir:
-        events = spark.read.parquet(args.log_dir)
+        from .sources.events import read_change_log
+
+        # cluster-sized scan splits: a zstd CDC log can pack into a
+        # handful of 128MB splits and starve the scan+extract stage at
+        # high core counts; read_change_log widens only when needed
+        if args.log_splits == 0:
+            events = spark.read.parquet(args.log_dir)
+        else:
+            events = read_change_log(
+                spark, args.log_dir, target_splits=args.log_splits)
     else:
         # partitions = batches x cores: replay slices the log on contiguous
         # event_seq ranges, so each batch must span >= cores partitions or
@@ -240,6 +249,9 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("replay", help="replay a change log (or synthetic events) into a lake table")
     p.add_argument("--table", required=True)
     p.add_argument("--log-dir", default=None, help="parquet change-log dir; omit for synthetic events")
+    p.add_argument("--log-splits", type=int, default=None,
+                   help="target scan splits for --log-dir (0 = Spark default "
+                        "packing; default 2 x cores x batches)")
     p.add_argument("--events", type=int, default=100_000, help="synthetic event count")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--domains", type=int, default=200)

@@ -266,3 +266,27 @@ def test_stage_files_rsync_semantics(spark, tmp_path):
 
     with pytest.raises(StagingError, match="no files match"):
         stage_files(spark, f"{src}/*.nope", dest)
+
+
+def test_read_change_log_split_sizing(spark, tmp_path):
+    """A compressed log that default-packs into one split is widened to
+    ~target_splits; a log already wide enough is left alone."""
+    from epigraphdb_graph_spark.sources.events import (
+        generate_change_events, read_change_log)
+
+    log = str(tmp_path / "log")
+    generate_change_events(spark, 20_000, seed=7).repartition(16) \
+        .write.parquet(log)
+    default_max = str(128 << 20)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", default_max)
+
+    df = read_change_log(spark, log, target_splits=8)
+    assert df.rdd.getNumPartitions() >= 8
+    assert int(spark.conf.get("spark.sql.files.maxPartitionBytes")) < (128 << 20)
+    assert df.count() == 20_000
+
+    # wide enough already (target 1): conf untouched
+    spark.conf.set("spark.sql.files.maxPartitionBytes", default_max)
+    read_change_log(spark, log, target_splits=1)
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == default_max
+    spark.conf.set("spark.sql.files.maxPartitionBytes", default_max)
