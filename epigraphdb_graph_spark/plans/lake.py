@@ -695,18 +695,32 @@ class LakeTable:
 
     # ----------------------------------------------------------------- write
     def _write_snapshot(
-        self, df: DataFrame, version: int, *, kind: str = "snap"
+        self, df: DataFrame, version: int, *, kind: str = "snap",
+        bloom_key: str | None = None,
     ) -> dict[str, list[str]]:
         """Write df (must carry _bucket) hive-partitioned by _bucket; return
-        per-bucket relative file lists."""
+        per-bucket relative file lists.
+
+        ``bloom_key`` writes a parquet bloom filter for that column (MOR
+        delta files only — they are append-ordered, so their key min/max
+        bounds span the whole bucket and ``read_keys``'s bounds pruning
+        cannot skip them; the bloom lets the scan skip entire row groups
+        on pushed key-equality predicates instead of decoding them. Base
+        files are key-sorted by compaction, where bounds already prune,
+        so they skip the bloom's write+size cost)."""
         snap_rel = os.path.join(_DATA, f"{kind}-{version:08d}")
         out_dir = os.path.join(self.path, snap_rel)
         with _static_plan(self.spark):
-            (
-                df.write.mode("overwrite")
-                .partitionBy("_bucket")
-                .parquet(out_dir)
-            )
+            w = df.write.mode("overwrite").partitionBy("_bucket")
+            if bloom_key is not None:
+                w = (
+                    w.option(f"parquet.bloom.filter.enabled#{bloom_key}", "true")
+                    # ~1 batch-per-bucket of url NDV; parquet sizes the
+                    # bitset from this (caps at parquet's 1MB default)
+                    .option(f"parquet.bloom.filter.expected.ndv#{bloom_key}",
+                            "131072")
+                )
+            w.parquet(out_dir)
         files: dict[str, list[str]] = {}
         if os.path.exists(out_dir):
             for d in sorted(os.listdir(out_dir)):
@@ -1162,7 +1176,8 @@ class LakeTable:
             # exchange at all (the O(batch) commit's only stage is
             # scan->write)
             out if src_aligned and m.get("bucket_hash") == "murmur3"
-            else self._bucket_repartition(out, m), version, kind="delta"
+            else self._bucket_repartition(out, m), version, kind="delta",
+            bloom_key=m["key"],
         )
         if not new_files:  # empty batch: ledger-only commit (cf. COW path)
             if batch_id is not None:

@@ -129,3 +129,48 @@ def test_compact_writes_key_sorted_files(spark, mor_table):
     assert checked > 0
     # state unchanged by the sorted rewrite
     assert t.read_keys(t.read().select("url").first()["url"]).count() == 1
+
+
+def test_delta_files_carry_key_bloom_filters(spark, tmp_path):
+    """MOR delta files (append-ordered: bounds can't prune) embed a
+    parquet bloom filter on the key column; base/compacted files (key-
+    sorted: bounds prune) don't pay for one. Verified via parquet-mr's
+    own footer reader through the JVM."""
+    import os
+
+    from epigraphdb_graph_spark.plans.lake import LakeTable
+    from epigraphdb_graph_spark.replay import replay
+    from epigraphdb_graph_spark.sources.events import generate_change_events
+
+    t = str(tmp_path / "t")
+    replay(spark, t, generate_change_events(spark, 4000, seed=11),
+           n_batches=2, n_buckets=4, mode="mor")
+    table = LakeTable(spark, t)
+    m = table.manifest()
+    delta = next(fl[0] for fl in m["deltas"].values() if fl)
+
+    def bloom_offset(rel):
+        jvm = spark.sparkContext._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        inp = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            jvm.org.apache.hadoop.fs.Path(os.path.join(t, rel)), conf)
+        r = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(inp)
+        try:
+            for col in r.getRowGroups().get(0).getColumns():
+                if col.getPath().toDotString() == "url":
+                    return col.getBloomFilterOffset()
+            raise AssertionError("url column missing")
+        finally:
+            r.close()
+
+    assert bloom_offset(delta) > 0
+
+    # point lookups still correct through the bloom-bearing deltas
+    key = table.read().limit(1).collect()[0]["url"]
+    got = table.read_keys([key]).collect()
+    assert len(got) == 1 and got[0]["url"] == key
+
+    table.compact()
+    m2 = table.manifest()
+    base = next(fl[0] for fl in m2["files"].values() if fl)
+    assert bloom_offset(base) == -1  # sorted base: no bloom written
