@@ -1920,6 +1920,72 @@ def q63(spark, sf):
     )
 
 
+@_q("q67_merge_into_clauses", """
+WITH base AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS ck, c_name AS name,
+         CAST(c_acctbal AS DOUBLE) AS balance, c_mktsegment AS segment
+  FROM customer),
+upd AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS ck, c_custkey % 7 AS delta
+  FROM customer WHERE c_custkey % 3 = 0),
+ins AS (
+  SELECT 'new:' || CAST(c_custkey AS VARCHAR) AS ck, c_custkey % 7 AS delta
+  FROM customer WHERE c_custkey % 100 = 0)
+SELECT b.ck, b.name,
+       CASE WHEN u.ck IS NOT NULL THEN b.balance + u.delta * 10
+            ELSE b.balance END AS balance,
+       b.segment
+FROM base b LEFT JOIN upd u USING (ck)
+WHERE NOT (u.ck IS NOT NULL AND u.delta = 0)
+UNION ALL
+SELECT ck, 'synthetic' AS name, CAST(delta AS DOUBLE) AS balance,
+       CAST(NULL AS VARCHAR) AS segment
+FROM ins
+""")
+def q67(spark, sf):
+    """Generic clause-style MERGE INTO (plans/merge_into.py) run for real:
+    a lake table is bulk-loaded from customer, then one merge applies
+    WHEN MATCHED DELETE (delta=0) / UPDATE (balance += delta*10) /
+    WHEN NOT MATCHED INSERT, and the table's resolved state is returned.
+    The oracle reconstructs the same final state in plain SQL, so
+    equality certifies clause ordering, tombstoned deletes, and the
+    bucket-pruned COW rewrite end-to-end (Delta/Iceberg MERGE parity;
+    the reference's Neo4j MERGE-on-key analog,
+    workflow/scripts/graph_build/merge_sources.py)."""
+    from epigraphdb_graph_spark.plans.lake import LakeTable
+    from epigraphdb_graph_spark.plans.merge_into import merge_into
+
+    c = _t(spark, sf, "customer")
+    base = c.select(
+        F.col("c_custkey").cast("string").alias("ck"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").cast("double").alias("balance"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    d = tempfile.mkdtemp(prefix="graft_q67_")
+    t = LakeTable.create(spark, os.path.join(d, "t"), base.schema,
+                         key="ck", n_buckets=8)
+    t.overwrite(base)
+    upd = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").cast("string").alias("ck"),
+        (F.col("c_custkey") % 7).cast("long").alias("delta"))
+    ins = c.filter(F.col("c_custkey") % 100 == 0).select(
+        F.concat(F.lit("new:"), F.col("c_custkey").cast("string")).alias("ck"),
+        (F.col("c_custkey") % 7).cast("long").alias("delta"))
+    merge_into(
+        t, upd.unionAll(ins),
+        when_matched_delete=F.col("s.delta") == 0,
+        when_matched_update={
+            "balance": F.col("t.balance") + F.col("s.delta") * 10},
+        when_not_matched_insert={
+            "ck": F.col("s.ck"),
+            "name": F.lit("synthetic"),
+            "balance": F.col("s.delta").cast("double")},
+        event_time=F.lit("2026-01-01 00:00:00").cast("timestamp"),
+    )
+    return t.read()
+
+
 @_q("q66_mysql_dump_scan", """
 SELECT s_suppkey, s_name, s_nationkey,
        CASE WHEN s_suppkey % 5 = 0 THEN NULL

@@ -1,0 +1,107 @@
+"""Generic clause-style MERGE INTO (plans/merge_into.py)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from epigraphdb_graph_spark.plans.lake import LakeTable
+from epigraphdb_graph_spark.plans.merge_into import merge_into
+from epigraphdb_graph_spark.replay import replay
+from epigraphdb_graph_spark.sources.events import generate_change_events
+
+def TS():
+    return F.lit("2026-01-01 00:00:00").cast("timestamp")
+
+
+@pytest.fixture()
+def pages(spark, tmp_path):
+    t = str(tmp_path / "pages")
+    replay(spark, t, generate_change_events(spark, 3000, seed=5),
+           n_batches=1, n_buckets=8)
+    return LakeTable(spark, t)
+
+
+def test_update_delete_insert_clauses(spark, pages):
+    before = {r["url"]: r for r in pages.read().collect()}
+    urls = sorted(before)
+    upd, dele, ins = urls[0], urls[1], "https://new.example.org/fresh"
+    src = spark.createDataFrame(
+        [(upd, "UPDATED", 0), (dele, "x", 1), (ins, "INSERTED", 0)],
+        "url string, text string, kill int")
+
+    r = merge_into(
+        pages, src,
+        when_matched_update={"text": F.col("s.text")},
+        when_matched_delete=F.col("s.kill") == 1,
+        when_not_matched_insert={"url": F.col("s.url"),
+                                 "text": F.col("s.text")},
+        event_time=TS(),
+    )
+    assert (r.inserted, r.updated, r.deleted) == (1, 1, 1)
+
+    after = {x["url"]: x for x in pages.read().collect()}
+    assert after[upd]["text"] == "UPDATED"
+    assert after[upd]["html"] == before[upd]["html"]  # unnamed cols kept
+    assert dele not in after                          # tombstoned
+    assert after[ins]["text"] == "INSERTED"
+    assert after[ins]["html"] is None                 # null-filled
+    # untouched keys carried verbatim
+    assert len(after) == len(before)  # -1 delete +1 insert
+    other = urls[2]
+    assert after[other] == before[other]
+
+
+def test_conditions_and_all_update(spark, pages):
+    rows = pages.read().limit(3).collect()
+    src = spark.createDataFrame(
+        [(r["url"], f"t{i}", r["html"], r["warc_ts"],
+          datetime.datetime(2026, 1, 1)) for i, r in enumerate(rows)],
+        "url string, text string, html binary, warc_ts timestamp, extra_ts timestamp")
+    r = merge_into(
+        pages, src.drop("extra_ts"),
+        when_matched_update="all",
+        matched_condition=F.col("s.text") != "t1",   # skip the middle row
+        when_not_matched_insert=None,
+        event_time=TS(),
+    )
+    assert r.updated == 2 and r.inserted == 0 and r.deleted == 0
+    after = {x["url"]: x for x in pages.read().collect()}
+    assert after[rows[0]["url"]]["text"] == "t0"
+    assert after[rows[1]["url"]]["text"] != "t1"     # condition skipped it
+    assert after[rows[2]["url"]]["text"] == "t2"
+
+
+def test_tombstone_counts_as_not_matched(spark, pages):
+    victim = sorted(r["url"] for r in pages.read().collect())[0]
+    src1 = spark.createDataFrame([(victim,)], "url string")
+    merge_into(pages, src1, when_matched_delete=True,
+               when_not_matched_insert=None, event_time=TS())
+    assert victim not in {r["url"] for r in pages.read().collect()}
+
+    # revive via insert clause (tombstoned key == NOT MATCHED)
+    src2 = spark.createDataFrame([(victim, "BACK")], "url string, text string")
+    r = merge_into(
+        pages, src2,
+        when_not_matched_insert={"url": F.col("s.url"),
+                                 "text": F.col("s.text")},
+        event_time=F.lit("2026-01-02 00:00:00").cast("timestamp"),
+    )
+    assert r.inserted == 1
+    got = pages.read().filter(F.col("url") == victim).collect()
+    assert len(got) == 1 and got[0]["text"] == "BACK"
+
+
+def test_exactly_once_ledger(spark, pages):
+    url = pages.read().limit(1).collect()[0]["url"]
+    src = spark.createDataFrame([(url, "once")], "url string, text string")
+    r1 = merge_into(pages, src, when_matched_update={"text": F.col("s.text")},
+                    when_not_matched_insert=None, batch_id="mi:1",
+                    event_time=TS())
+    r2 = merge_into(pages, src, when_matched_update={"text": F.col("s.text")},
+                    when_not_matched_insert=None, batch_id="mi:1",
+                    event_time=TS())
+    assert not r1.noop and r2.noop
+    assert pages.current_version() == r1.version
