@@ -715,10 +715,18 @@ class LakeTable:
             if bloom_key is not None:
                 w = (
                     w.option(f"parquet.bloom.filter.enabled#{bloom_key}", "true")
-                    # ~1 batch-per-bucket of url NDV; parquet sizes the
-                    # bitset from this (caps at parquet's 1MB default)
-                    .option(f"parquet.bloom.filter.expected.ndv#{bloom_key}",
-                            "131072")
+                    # adaptive sizing: parquet keeps candidate filters and
+                    # persists the smallest that holds the file's actual
+                    # key NDV — measured +3% delta bytes on the 70 B-body
+                    # headline batch vs +160% for a static 131k-NDV bloom.
+                    # The 64 KB cap bounds cost on huge files (a saturated
+                    # bloom degrades to always-maybe: pruning lost, never
+                    # wrong). Note: parquet only materializes the bloom
+                    # when the column falls back from dictionary encoding
+                    # — dictionary pages already give exact row-group
+                    # membership, so small/repetitive files pay nothing.
+                    .option("parquet.bloom.filter.adaptive.enabled", "true")
+                    .option("parquet.bloom.filter.max.bytes", "65536")
                 )
             w.parquet(out_dir)
         files: dict[str, list[str]] = {}
