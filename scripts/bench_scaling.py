@@ -184,8 +184,10 @@ def main():
         except ValueError:
             lines += ["\n", "## Interleaved N->4N runs\n", "\n", header, sep]
             i = len(lines) - 2
-        j = i + 2  # skip header + separator
-        while j < len(lines) and lines[j].startswith("|"):
+        j = i + 2  # skip header + separator (and per-row pair bullets)
+        while j < len(lines) and (
+            lines[j].startswith("|") or lines[j].startswith("  - ")
+        ):
             j += 1
         lines.insert(j, row)
         with open(path, "w") as f:
