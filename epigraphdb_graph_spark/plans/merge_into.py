@@ -89,6 +89,16 @@ def merge_into(
 
     schema = T.StructType.fromJson(m["schema"])
     data_cols = schema.fieldNames()
+    for clause, exprs in (("when_matched_update", when_matched_update),
+                          ("when_not_matched_insert", when_not_matched_insert)):
+        if isinstance(exprs, dict):
+            unknown = set(exprs) - set(data_cols)
+            if unknown:
+                raise ValueError(
+                    f"{clause} names columns not in the table schema: "
+                    f"{sorted(unknown)} (schema: {data_cols})")
+        elif exprs is not None and exprs != "all":
+            raise ValueError(f"{clause} must be a dict, 'all', or None")
     typ = {f.name: f.dataType for f in schema.fields}
     ts = event_time if event_time is not None else F.current_timestamp()
 

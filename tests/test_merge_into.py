@@ -105,3 +105,14 @@ def test_exactly_once_ledger(spark, pages):
                     event_time=TS())
     assert not r1.noop and r2.noop
     assert pages.current_version() == r1.version
+
+
+def test_unknown_clause_column_rejected(spark, pages):
+    src = spark.createDataFrame([("u", "t")], "url string, text string")
+    with pytest.raises(ValueError, match="not in the table schema"):
+        merge_into(pages, src,
+                   when_matched_update={"nope": F.col("s.text")},
+                   when_not_matched_insert=None)
+    with pytest.raises(ValueError, match="must be a dict"):
+        merge_into(pages, src, when_matched_update="everything",
+                   when_not_matched_insert=None)
