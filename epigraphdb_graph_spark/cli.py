@@ -186,7 +186,8 @@ def cmd_expire(args) -> int:
     spark = _spark(args)
     table = LakeTable(spark, args.table)
     stats = table.expire_snapshots(keep_last=args.keep_last,
-                                   vacuum=not args.no_vacuum)
+                                   vacuum=not args.no_vacuum,
+                                   find_orphans=args.find_orphans)
     print(json.dumps({"version": table.current_version(), **stats}))
     return 0
 
@@ -320,6 +321,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table", required=True)
     p.add_argument("--keep-last", type=int, default=10)
     p.add_argument("--no-vacuum", action="store_true")
+    p.add_argument("--find-orphans", action="store_true",
+                   help="also walk the data dir for never-committed files")
     _add_common(p)
     p.set_defaults(fn=cmd_expire)
 

@@ -1497,44 +1497,69 @@ class LakeTable:
         return self.compact(drop_tombstones=drop_tombstones)
 
     def expire_snapshots(self, *, keep_last: int = 10,
-                         vacuum: bool = True) -> dict:
+                         vacuum: bool = True,
+                         find_orphans: bool = False) -> dict:
         """Expire old snapshot manifests (bounding ``history()`` and meta
-        disk) and optionally vacuum data files no surviving manifest
-        references (Iceberg expire_snapshots + remove_orphan_files analog).
+        disk) and optionally vacuum the data files they retired (Iceberg
+        expire_snapshots analog).
 
         Keeps the newest ``keep_last`` manifests; time travel earlier than
-        that is given up. Driver-side metadata work only — the file set
-        comes from manifests, never from listing data (the deletes
-        themselves are local fs ops)."""
+        that is given up. ``vacuum`` deletes by **manifest diff** — files
+        referenced by an expired manifest but by no surviving one —
+        touching O(retired files) and never listing the data directory
+        (on an object store a full listing is the expensive part; the
+        manifests already know every committed file). ``find_orphans``
+        additionally walks the data directory to remove files no manifest
+        ever referenced (half-written output of crashed jobs — Iceberg's
+        separate ``remove_orphan_files``); that one is O(listing) by
+        nature, so it is opt-in maintenance rather than part of the
+        routine expiry path."""
         current = self.current_version()
         keep_from = max(0, current - keep_last + 1)
-        expired = 0
+
+        def refs(manifest: dict) -> set[str]:
+            out: set[str] = set()
+            for which in ("files", "deltas"):
+                for fl in manifest.get(which, {}).values():
+                    out.update(fl)
+            return out
+
+        expired_names, surviving_refs = [], set()
+        retired_refs: set[str] = set()
         for fn in os.listdir(self._meta_dir):
             if fn.startswith("v") and fn.endswith(".json"):
-                v = int(fn[1:-5])
-                if v < keep_from:
-                    os.remove(os.path.join(self._meta_dir, fn))
-                    expired += 1
+                with open(os.path.join(self._meta_dir, fn)) as f:
+                    mm = json.load(f)
+                if int(fn[1:-5]) < keep_from:
+                    expired_names.append(fn)
+                    retired_refs |= refs(mm)
+                else:
+                    surviving_refs |= refs(mm)
+        for fn in expired_names:
+            os.remove(os.path.join(self._meta_dir, fn))
+
         removed_files = 0
         if vacuum:
-            referenced: set[str] = set()
-            for fn in os.listdir(self._meta_dir):
-                if fn.startswith("v") and fn.endswith(".json"):
-                    with open(os.path.join(self._meta_dir, fn)) as f:
-                        mm = json.load(f)
-                    for which in ("files", "deltas"):
-                        for fl in mm.get(which, {}).values():
-                            referenced.update(fl)
+            for rel in sorted(retired_refs - surviving_refs):
+                full = os.path.join(self.path, rel)
+                if os.path.exists(full):
+                    os.remove(full)
+                    removed_files += 1
+        orphans = 0
+        if find_orphans:
+            known = surviving_refs | retired_refs
             data_root = os.path.join(self.path, _DATA)
             for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
                 for fn in filenames:
                     full = os.path.join(dirpath, fn)
                     rel = os.path.relpath(full, self.path)
-                    if fn.endswith(".parquet") and rel not in referenced:
+                    if fn.endswith(".parquet") and rel not in known:
                         os.remove(full)
-                        removed_files += 1
+                        orphans += 1
                     elif fn.startswith("_") or fn.endswith(".crc"):
                         os.remove(full)  # _SUCCESS / crc markers
                 if not os.listdir(dirpath):
                     os.rmdir(dirpath)
-        return {"expired_manifests": expired, "removed_data_files": removed_files}
+        return {"expired_manifests": len(expired_names),
+                "removed_data_files": removed_files,
+                "removed_orphans": orphans}

@@ -490,9 +490,21 @@ def test_expire_snapshots_bounds_metadata(spark, tmp_path, events, oracle_state)
     n_meta_before = len([f for f in os.listdir(table._meta_dir)
                          if f.endswith(".json")])
     assert n_meta_before >= 7  # create + 6 commits
+    # plant an orphan (half-written output of a crashed job)
+    orphan = os.path.join(path, "data", "snap-99999999", "_bucket=0")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-zzz.parquet"), "w") as f:
+        f.write("junk")
     stats = table.expire_snapshots(keep_last=2)
     assert stats["expired_manifests"] == n_meta_before - 2
     assert stats["removed_data_files"] > 0  # old COW snapshots vacuumed
+    # manifest-diff vacuum never lists the data dir: orphan untouched
+    assert stats["removed_orphans"] == 0
+    assert os.path.exists(os.path.join(orphan, "part-zzz.parquet"))
+    # opt-in orphan walk removes it
+    stats2 = table.expire_snapshots(keep_last=2, find_orphans=True)
+    assert stats2["removed_orphans"] == 1
+    assert not os.path.exists(orphan)
     # current state unaffected
     _assert_equal(_state(spark, path), oracle_state)
     assert len(table.history()) == 2
