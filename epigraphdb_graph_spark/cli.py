@@ -180,6 +180,20 @@ def cmd_matview(args) -> int:
     return 0
 
 
+def cmd_stage(args) -> int:
+    from .sources.staging import stage_files
+
+    spark = _spark(args)
+    staged = stage_files(spark, args.src, args.dest, overwrite=args.overwrite)
+    print(json.dumps({
+        "staged": [s.as_tuple() for s in staged],
+        "copied": sum(1 for s in staged if s.action == "copied"),
+        "skipped": sum(1 for s in staged if s.action == "skipped"),
+        "bytes": sum(s.bytes for s in staged),
+    }))
+    return 0
+
+
 def cmd_expire(args) -> int:
     from .plans.lake import LakeTable
 
@@ -325,6 +339,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="also walk the data dir for never-committed files")
     _add_common(p)
     p.set_defaults(fn=cmd_expire)
+
+    p = sub.add_parser("stage", help="stage files (Hadoop-FS glob copy, rsync-style same-size skip)")
+    p.add_argument("--src", required=True, help="source glob (any Hadoop fs)")
+    p.add_argument("--dest", required=True, help="destination dir")
+    p.add_argument("--overwrite", action="store_true")
+    _add_common(p)
+    p.set_defaults(fn=cmd_stage)
 
     p = sub.add_parser("lookup", help="point lookup by key (bucket + file-bounds pruned read)")
     p.add_argument("--table", required=True)
