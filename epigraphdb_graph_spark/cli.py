@@ -87,7 +87,7 @@ def cmd_replay(args) -> int:
                 LakeTable(spark, f"{wdir}/t").compact()
         finally:
             _sh.rmtree(wdir, ignore_errors=True)
-    mor_dedup = {"auto": "auto", "agg": True, "filter": "filter",
+    mor_dedup = {"auto": "auto", "agg": "agg", "filter": "filter",
                  "none": False}[getattr(args, "mor_dedup", "auto")]
     t0 = time.perf_counter()
     results = replay(

@@ -54,10 +54,19 @@ def asof_join(
     timestamp winners are nondeterministic, exactly as in pandas
     merge_asof.
     """
+    from pyspark.sql import types as T
+
     keys = [on] if isinstance(on, str) else list(on)
     payload = [c for c in right.columns
                if c not in keys and c != right_ts and c != right_seq]
+    if not payload:
+        return left
     rtypes = {f.name: f.dataType for f in right.schema.fields}
+    # Payload travels as ONE struct so last(ignorenulls) picks the whole
+    # winning right ROW: per-column last() would backfill a legitimately
+    # NULL field of the true as-of match from an OLDER right row — a
+    # mixed old/new output pandas merge_asof / DuckDB ASOF never produce.
+    pay_t = T.StructType([T.StructField(c, rtypes[c]) for c in payload])
 
     seq = (F.col(right_seq).cast("long") if right_seq is not None
            else F.lit(0).cast("long"))
@@ -66,7 +75,7 @@ def asof_join(
         F.col(right_ts).alias("_ats"),
         F.lit(0).alias("_tag"),
         seq.alias("_aseq"),
-        *[F.col(c).alias(c + suffix) for c in payload],
+        F.struct(*[F.col(c).alias(c) for c in payload]).alias("_apay"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in keys],
     )
@@ -75,7 +84,7 @@ def asof_join(
         F.col(left_ts).alias("_ats"),
         F.lit(1).alias("_tag"),
         F.lit(0).cast("long").alias("_aseq"),
-        *[F.lit(None).cast(rtypes[c]).alias(c + suffix) for c in payload],
+        F.lit(None).cast(pay_t).alias("_apay"),
         *[F.col(c) for c in left.columns if c not in keys],
     )
     merged = r2.unionByName(l2)
@@ -87,12 +96,11 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = merged.select(
-        *keys,
         "_tag",
-        "_ats",
-        *[c for c in left.columns if c not in keys],
-        *[F.last(c + suffix, ignorenulls=True).over(w).alias(c + suffix)
-          for c in payload],
+        *left.columns,
+        F.last("_apay", ignorenulls=True).over(w).alias("_apay"),
     )
-    out_cols = list(left.columns) + [c + suffix for c in payload]
-    return filled.filter(F.col("_tag") == 1).select(*out_cols)
+    return filled.filter(F.col("_tag") == 1).select(
+        *left.columns,
+        *[F.col("_apay")[c].alias(c + suffix) for c in payload],
+    )

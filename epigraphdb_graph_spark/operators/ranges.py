@@ -61,19 +61,30 @@ def bin_range_join(
     )
     residual = (F.col(value_col) >= F.col(lo_col)) & (
         F.col(value_col) < F.col(hi_col))
-    matched = (
-        binned_fact.join(exploded, "_bin")
-        .filter(residual)
-        .drop("_bin")
-    )
     if how == "inner":
-        return matched
+        return (
+            binned_fact.join(exploded, "_bin")
+            .filter(residual)
+            .drop("_bin")
+        )
     if how != "left":
         raise ValueError(f"how must be inner|left, got {how!r}")
-    rcols = [c for c in ranges.columns]
-    unmatched = binned_fact.drop("_bin").join(
-        matched.select(*fact.columns), fact.columns, "left_anti")
-    for c in rcols:
-        unmatched = unmatched.withColumn(
-            c, F.lit(None).cast(ranges.schema[c].dataType))
-    return matched.unionByName(unmatched)
+    # Left outer as ONE equi-join on the bin with the exact predicate
+    # folded into the join condition (still a hash join on _bin; the
+    # residual becomes the join filter). Each fact row carries exactly
+    # one bin and each covering range contributes exactly one exploded
+    # row for it, so matched facts get one row per covering range and
+    # unmatched facts one null-extended row — no anti-join on fact
+    # columns (which was null-UNSAFE: a matched fact row with any NULL
+    # column never equaled itself and was emitted twice).
+    bf = binned_fact.alias("_rj_f")
+    ex = exploded.alias("_rj_r")
+    cond = (
+        (F.col("_rj_f._bin") == F.col("_rj_r._bin"))
+        & (F.col(f"_rj_f.{value_col}") >= F.col(f"_rj_r.{lo_col}"))
+        & (F.col(f"_rj_f.{value_col}") < F.col(f"_rj_r.{hi_col}"))
+    )
+    return bf.join(ex, cond, "left").select(
+        *[F.col(f"_rj_f.{c}").alias(c) for c in fact.columns],
+        *[F.col(f"_rj_r.{c}").alias(c) for c in ranges.columns],
+    )

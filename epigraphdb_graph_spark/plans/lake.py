@@ -762,9 +762,20 @@ class LakeTable:
             for f in fl:
                 md = pq.ParquetFile(os.path.join(self.path, f)).metadata
                 rows[f] = md.num_rows
-                try:
-                    idx = md.schema.to_arrow_schema().get_field_index(key)
-                except KeyError:
+                # Locate the key's LEAF column by path_in_schema: the Arrow
+                # top-level field index is NOT a parquet leaf index once any
+                # multi-leaf column (struct/map) precedes the key, and
+                # get_field_index returns -1 (not KeyError) for a missing
+                # name. Record no bounds when the key leaf is absent (file
+                # is then never pruned — safe).
+                idx = None
+                if md.num_row_groups > 0:
+                    rg0 = md.row_group(0)
+                    for i in range(rg0.num_columns):
+                        if rg0.column(i).path_in_schema == key:
+                            idx = i
+                            break
+                if idx is None:
                     continue
                 lo = hi = None
                 ok = md.num_row_groups > 0
@@ -1498,7 +1509,8 @@ class LakeTable:
 
     def expire_snapshots(self, *, keep_last: int = 10,
                          vacuum: bool = True,
-                         find_orphans: bool = False) -> dict:
+                         find_orphans: bool = False,
+                         orphan_older_than_s: float = 3 * 3600.0) -> dict:
         """Expire old snapshot manifests (bounding ``history()`` and meta
         disk) and optionally vacuum the data files they retired (Iceberg
         expire_snapshots analog).
@@ -1513,7 +1525,16 @@ class LakeTable:
         ever referenced (half-written output of crashed jobs — Iceberg's
         separate ``remove_orphan_files``); that one is O(listing) by
         nature, so it is opt-in maintenance rather than part of the
-        routine expiry path."""
+        routine expiry path.
+
+        A writer commits by writing snap/delta parquet BEFORE the
+        manifest pointer swap, so a data file can legitimately predate
+        its manifest: ``find_orphans`` therefore SKIPS files whose mtime
+        is within ``orphan_older_than_s`` of now (default 3 h — the
+        Iceberg ``remove_orphan_files(older_than=...)`` convention).
+        Even with the grace period, prefer running orphan removal with
+        the writer/tailer quiesced; a commit stalled longer than the
+        grace window while racing this call could still lose its files."""
         current = self.current_version()
         keep_from = max(0, current - keep_last + 1)
 
@@ -1547,6 +1568,9 @@ class LakeTable:
                     removed_files += 1
         orphans = 0
         if find_orphans:
+            import time as _time
+
+            cutoff = _time.time() - max(orphan_older_than_s, 0.0)
             known = surviving_refs | retired_refs
             data_root = os.path.join(self.path, _DATA)
             for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
@@ -1554,6 +1578,11 @@ class LakeTable:
                     full = os.path.join(dirpath, fn)
                     rel = os.path.relpath(full, self.path)
                     if fn.endswith(".parquet") and rel not in known:
+                        # grace period: an in-flight commit writes data
+                        # files before the manifest swap — never remove
+                        # recent unreferenced files
+                        if os.path.getmtime(full) > cutoff:
+                            continue
                         os.remove(full)
                         orphans += 1
                     elif fn.startswith("_") or fn.endswith(".crc"):

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 import pandas as pd
 import pytest
@@ -501,9 +502,17 @@ def test_expire_snapshots_bounds_metadata(spark, tmp_path, events, oracle_state)
     # manifest-diff vacuum never lists the data dir: orphan untouched
     assert stats["removed_orphans"] == 0
     assert os.path.exists(os.path.join(orphan, "part-zzz.parquet"))
-    # opt-in orphan walk removes it
+    # opt-in orphan walk, default grace period: a FRESH unreferenced file
+    # may belong to an in-flight commit (data lands before the manifest
+    # pointer swap) — skipped, not deleted
     stats2 = table.expire_snapshots(keep_last=2, find_orphans=True)
-    assert stats2["removed_orphans"] == 1
+    assert stats2["removed_orphans"] == 0
+    assert os.path.exists(os.path.join(orphan, "part-zzz.parquet"))
+    # backdated past the grace window, the walk removes it
+    old = time.time() - 4 * 3600
+    os.utime(os.path.join(orphan, "part-zzz.parquet"), (old, old))
+    stats3 = table.expire_snapshots(keep_last=2, find_orphans=True)
+    assert stats3["removed_orphans"] == 1
     assert not os.path.exists(orphan)
     # current state unaffected
     _assert_equal(_state(spark, path), oracle_state)

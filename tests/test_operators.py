@@ -424,3 +424,50 @@ def test_bin_range_join_semantics(spark):
     assert len(left) == 7  # 5 matches + 2 unmatched (42.0, -1.0)
     miss = left[left["tag"].isna()]
     assert sorted(miss["fid"]) == [5, 6]
+
+
+def test_bin_range_join_left_nullable_fact_no_duplicates(spark):
+    """ADVICE r3 regression: a matched fact row carrying a NULL column
+    must appear exactly once in left mode (the old anti-join on all fact
+    columns used null-unsafe equality, so NULL-bearing rows never equaled
+    themselves and came out both matched AND null-extended)."""
+    from epigraphdb_graph_spark.operators.ranges import bin_range_join
+
+    fact = spark.createDataFrame(
+        [(1, 2.0, None), (2, 2.5, "x"), (3, 99.0, None)],
+        "fid long, v double, note string")
+    ranges = spark.createDataFrame(
+        [(0.0, 5.0, "a")], "lo double, hi double, tag string")
+
+    left = bin_range_join(fact, ranges, value_col="v", bin_width=3.0,
+                          how="left").toPandas()
+    assert len(left) == 3                       # one row per fact row
+    counts = left["fid"].value_counts().to_dict()
+    assert counts == {1: 1, 2: 1, 3: 1}
+    by_fid = left.set_index("fid")
+    assert by_fid.loc[1, "tag"] == "a"          # matched despite NULL note
+    assert pd.isna(by_fid.loc[3, "tag"])        # true miss null-extended
+
+
+def test_asof_join_null_payload_not_backfilled(spark):
+    """ADVICE r3 regression: a legitimately NULL payload field in the
+    true as-of match must stay NULL — per-column last(ignorenulls) used
+    to backfill it from an OLDER right row, producing a mixed old/new
+    row pandas merge_asof / DuckDB ASOF never emit."""
+    import datetime as dt
+
+    from epigraphdb_graph_spark.operators.asof import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [("a", t(10), 1)], "k string, ts timestamp, lid int")
+    # older row has rv=100, extra='old'; the TRUE match (t=9) has
+    # rv=300 but extra NULL — output must be (300, None), never
+    # (300, 'old')
+    right = spark.createDataFrame(
+        [("a", t(2), 100, "old"), ("a", t(9), 300, None)],
+        "k string, ts timestamp, rv int, extra string")
+
+    row = asof_join(left, right, on="k").collect()[0]
+    assert row["rv_r"] == 300
+    assert row["extra_r"] is None

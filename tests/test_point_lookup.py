@@ -174,3 +174,49 @@ def test_delta_files_carry_key_bloom_filters(spark, tmp_path):
     m2 = table.manifest()
     base = next(fl[0] for fl in m2["files"].values() if fl)
     assert bloom_offset(base) == -1  # sorted base: no bloom written
+
+
+def test_key_bounds_with_struct_column_before_key(spark, tmp_path):
+    """ADVICE r3 regression: _scan_new_file_stats must locate the key's
+    parquet LEAF column by path_in_schema. With a multi-leaf (struct)
+    column ahead of the key, the Arrow top-level field index pointed at
+    another leaf's statistics, recording wrong file_key_bounds — and
+    read_keys could then prune a file that DOES contain the key."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from epigraphdb_graph_spark.plans.lake import LakeTable
+
+    schema = T.StructType([
+        # struct with 2 leaves BEFORE the key: shifts every leaf index
+        T.StructField("meta", T.StructType([
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.StringType()),
+        ])),
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("text", T.StringType()),
+    ])
+    path = str(tmp_path / "structtable")
+    t = LakeTable.create(spark, path, schema, key="url", n_buckets=2)
+    ts = dt.datetime(2024, 1, 1)
+    batch = spark.createDataFrame(
+        [((i, f"m{i}"), f"url-{i:03d}", ts, 1000 + i, "insert", f"t{i}")
+         for i in range(20)],
+        "meta struct<a:long,b:string>, url string, warc_ts timestamp, "
+        "event_seq long, op string, text string")
+    t.merge(batch, mode="cow")
+
+    m = t.manifest()
+    bounds = m.get("file_key_bounds", {})
+    assert bounds, "commit must record key bounds"
+    los = sorted(b[0] for b in bounds.values())
+    his = sorted(b[1] for b in bounds.values())
+    # bounds must be url values, not the struct leaf's (ints / m*)
+    assert all(str(lo).startswith("url-") for lo in los), los
+    assert min(los) == "url-000" and max(his) == "url-019"
+    # and pruning must not lose a present key
+    row = t.read_keys("url-007").collect()
+    assert len(row) == 1 and row[0]["text"] == "t7"
+    assert row[0]["meta"]["a"] == 7
