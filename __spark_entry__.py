@@ -1986,6 +1986,62 @@ def q67(spark, sf):
     return t.read()
 
 
+@_q("q68_merge_by_source", """
+WITH base AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS ck, c_name AS name,
+         CAST(c_acctbal AS DOUBLE) AS balance, c_mktsegment AS segment
+  FROM customer),
+src AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS ck, c_custkey % 9 AS delta
+  FROM customer WHERE c_custkey % 2 = 0)
+SELECT b.ck,
+       CASE WHEN s.ck IS NULL THEN 'stale:' || b.name ELSE b.name END AS name,
+       CASE WHEN s.ck IS NOT NULL THEN b.balance + s.delta
+            ELSE b.balance END AS balance,
+       b.segment
+FROM base b LEFT JOIN src s USING (ck)
+WHERE NOT (s.ck IS NULL AND b.segment = 'BUILDING')
+""")
+def q68(spark, sf):
+    """MERGE INTO's WHEN NOT MATCHED BY SOURCE clause family (the Delta
+    sync form, plans/merge_into.py): the lake table is bulk-loaded from
+    customer, then one merge with src = even custkeys applies
+    WHEN MATCHED UPDATE (balance += delta), WHEN NOT MATCHED BY SOURCE
+    AND segment='BUILDING' THEN DELETE, and WHEN NOT MATCHED BY SOURCE
+    THEN UPDATE (name marked stale). The oracle reconstructs the final
+    state with a LEFT JOIN, certifying BY SOURCE clause ordering
+    (delete before update), the full-bucket rewrite, and tombstoned
+    deletes end-to-end."""
+    from epigraphdb_graph_spark.plans.lake import LakeTable
+    from epigraphdb_graph_spark.plans.merge_into import merge_into
+
+    c = _t(spark, sf, "customer")
+    base = c.select(
+        F.col("c_custkey").cast("string").alias("ck"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").cast("double").alias("balance"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    d = tempfile.mkdtemp(prefix="graft_q68_")
+    t = LakeTable.create(spark, os.path.join(d, "t"), base.schema,
+                         key="ck", n_buckets=8)
+    t.overwrite(base)
+    src = c.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").cast("string").alias("ck"),
+        (F.col("c_custkey") % 9).cast("long").alias("delta"))
+    merge_into(
+        t, src,
+        when_matched_update={
+            "balance": F.col("t.balance") + F.col("s.delta")},
+        when_not_matched_insert=None,
+        when_not_matched_by_source_delete=F.col("t.segment") == "BUILDING",
+        when_not_matched_by_source_update={
+            "name": F.concat(F.lit("stale:"), F.col("t.name"))},
+        event_time=F.lit("2026-01-01 00:00:00").cast("timestamp"),
+    )
+    return t.read()
+
+
 @_q("q66_mysql_dump_scan", """
 SELECT s_suppkey, s_name, s_nationkey,
        CASE WHEN s_suppkey % 5 = 0 THEN NULL

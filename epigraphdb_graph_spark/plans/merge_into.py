@@ -8,6 +8,7 @@ rule. Real lakehouse users also need the *clause* form
     MERGE INTO t USING s ON t.k = s.k
     WHEN MATCHED [AND cond] THEN UPDATE SET ... | DELETE
     WHEN NOT MATCHED [AND cond] THEN INSERT ...
+    WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE | UPDATE SET ...
 
 (the reference's analog is Neo4j ``MERGE``-on-key upserts in its bulk
 import, workflow/scripts/graph_build/merge_sources.py). This module
@@ -48,6 +49,9 @@ def merge_into(
     when_matched_delete: Column | bool = False,
     when_not_matched_insert: dict[str, Column] | str | None = "all",
     not_matched_condition: Column | None = None,
+    when_not_matched_by_source_delete: Column | bool = False,
+    when_not_matched_by_source_update: dict[str, Column] | None = None,
+    not_matched_by_source_condition: Column | None = None,
     batch_id: str | None = None,
     event_time: Column | None = None,
 ) -> MergeResult:
@@ -65,6 +69,15 @@ def merge_into(
     - ``when_not_matched_insert``: ``"all"`` or ``{column: expr}``;
       unnamed table columns are null-filled. A tombstoned target key
       counts as NOT MATCHED — inserting over it revives the key.
+    - ``when_not_matched_by_source_delete`` / ``..._update``: the Delta
+      "sync" clause family, applied to *visible target rows with no
+      source match* — delete (tombstone) or update them; expressions may
+      reference only ``t.`` columns, and delete is evaluated first (SQL
+      clause order), with ``not_matched_by_source_condition`` gating the
+      update. NOTE the inherent cost (same as Delta/Iceberg): a
+      BY SOURCE clause makes *every* table row a candidate, so the merge
+      reads and rewrites ALL buckets instead of only the source's
+      touched ones — use for periodic full-sync merges, not CDC tailing.
     - ``event_time``: ordering timestamp for written rows (default
       ``current_timestamp()``); with the commit's version as sequence it
       makes merged rows strictly newer than history under the engine's
@@ -89,8 +102,20 @@ def merge_into(
 
     schema = T.StructType.fromJson(m["schema"])
     data_cols = schema.fieldNames()
-    for clause, exprs in (("when_matched_update", when_matched_update),
-                          ("when_not_matched_insert", when_not_matched_insert)):
+    if when_not_matched_by_source_update is not None and not isinstance(
+            when_not_matched_by_source_update, dict):
+        raise ValueError(
+            "when_not_matched_by_source_update must be a {column: expr} "
+            "dict (there is no source row to take 'all' from)")
+    by_source = (
+        when_not_matched_by_source_delete is not False
+        and when_not_matched_by_source_delete is not None
+    ) or when_not_matched_by_source_update is not None
+    for clause, exprs in (
+            ("when_matched_update", when_matched_update),
+            ("when_not_matched_insert", when_not_matched_insert),
+            ("when_not_matched_by_source_update",
+             when_not_matched_by_source_update)):
         if isinstance(exprs, dict):
             unknown = set(exprs) - set(data_cols)
             if unknown:
@@ -105,7 +130,12 @@ def merge_into(
     src = source.withColumn(
         "_bucket", table.bucket_expr(F.col(key), n_buckets, manifest=m)
     ).persist()
-    touched = [r[0] for r in src.select("_bucket").distinct().collect()]
+    if by_source:
+        # every visible target row with no source match is a candidate:
+        # all buckets are touched (full-table rewrite, as in Delta)
+        touched = list(range(n_buckets))
+    else:
+        touched = [r[0] for r in src.select("_bucket").distinct().collect()]
     if not touched:
         src.unpersist()
         if batch_id is not None:
@@ -163,8 +193,19 @@ def merge_into(
         F.col("t._bucket").alias("_bucket"),
     )
 
+    t_only = (  # NOT MATCHED BY SOURCE: visible target row, no source row
+        F.when(~visible, F.lit("keep"))  # tombstones carried unchanged
+        .when(_cond(when_not_matched_by_source_delete, False),
+              F.lit("delete"))
+        .when(
+            F.lit(when_not_matched_by_source_update is not None)
+            & _cond(not_matched_by_source_condition, True),
+            F.lit("update_t"),
+        )
+        .otherwise(F.lit("keep"))
+    )
     action = (
-        F.when(~s_present, F.lit("keep"))
+        F.when(~s_present, t_only if by_source else F.lit("keep"))
         .when(
             ~visible,  # unmatched (or tombstoned) target
             F.when(
@@ -184,6 +225,8 @@ def merge_into(
     row = (
         F.when(action == "insert", build(when_not_matched_insert, base="s"))
         .when(action == "update", build(when_matched_update, base="t"))
+        .when(action == "update_t",
+              build(when_not_matched_by_source_update, base="t"))
         .when(action == "delete", tomb_row)
         .otherwise(t_row)
     )
@@ -199,7 +242,7 @@ def merge_into(
     out = resolved.observe(
         obs,
         *[F.sum(F.when(F.col("_action") == a, 1).otherwise(0)).alias(a)
-          for a in ("insert", "update", "delete", "keep")],
+          for a in ("insert", "update", "update_t", "delete", "keep")],
     ).drop("_action")
 
     new_files = table._write_snapshot(
@@ -228,12 +271,13 @@ def merge_into(
         "ledger": _ledger_add(m, batch_id),
         "metrics": {"op": "merge_into", "batch_id": batch_id,
                     "actions": {a: int(got.get(a) or 0)
-                                for a in ("insert", "update", "delete", "keep")}},
+                                for a in ("insert", "update", "update_t",
+                                          "delete", "keep")}},
     })
     return MergeResult(
         version,
         inserted=int(got.get("insert") or 0),
-        updated=int(got.get("update") or 0),
+        updated=int(got.get("update") or 0) + int(got.get("update_t") or 0),
         deleted=int(got.get("delete") or 0),
         stale_skipped=0,
         touched_buckets=len(new_files),

@@ -116,3 +116,52 @@ def test_unknown_clause_column_rejected(spark, pages):
     with pytest.raises(ValueError, match="must be a dict"):
         merge_into(pages, src, when_matched_update="everything",
                    when_not_matched_insert=None)
+
+
+def test_not_matched_by_source_clauses(spark, pages):
+    """Delta sync-form: WHEN NOT MATCHED BY SOURCE DELETE/UPDATE apply
+    to visible target rows absent from the source — delete first (SQL
+    clause order), update gated by its condition; tombstones stay
+    untouched; matched rows still follow the matched clauses."""
+    before = {r["url"]: r for r in pages.read().collect()}
+    urls = sorted(before)
+    keep, gone = urls[0], urls[1]
+    src = spark.createDataFrame([(keep, "KEPT")], "url string, text string")
+
+    r = merge_into(
+        pages, src,
+        when_matched_update={"text": F.col("s.text")},
+        when_not_matched_insert=None,
+        # delete rows sharing gone's domain; mark the rest stale
+        when_not_matched_by_source_delete=F.col("t.url") == gone,
+        when_not_matched_by_source_update={
+            "text": F.concat(F.lit("stale:"), F.col("t.text"))},
+        event_time=TS(),
+    )
+    after = {x["url"]: x for x in pages.read().collect()}
+    assert after[keep]["text"] == "KEPT"
+    assert gone not in after                      # BY SOURCE DELETE
+    assert r.deleted == 1
+    assert r.updated == 1 + (len(before) - 2)     # matched + stale marks
+    for u in urls[2:]:
+        assert after[u]["text"] == "stale:" + (before[u]["text"] or "")
+        assert after[u]["html"] == before[u]["html"]  # unnamed cols kept
+    assert len(after) == len(before) - 1
+
+    # delete-only sync with empty source: an empty batch must still
+    # evaluate BY SOURCE (everything unconditional-deletes)
+    empty = spark.createDataFrame([], "url string, text string")
+    r2 = merge_into(
+        pages, empty,
+        when_not_matched_insert=None,
+        when_not_matched_by_source_delete=True,
+        event_time=TS(),
+    )
+    assert r2.deleted == len(after)
+    assert pages.read().count() == 0
+
+
+def test_by_source_update_requires_dict(spark, pages):
+    with pytest.raises(ValueError, match="by_source_update"):
+        merge_into(pages, spark.createDataFrame([("u",)], "url string"),
+                   when_not_matched_by_source_update="all")
