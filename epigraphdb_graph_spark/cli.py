@@ -237,6 +237,44 @@ def cmd_lookup(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Versioned profiling report sink (reference K6 parity: the
+    pandas-profiling HTML per dataset, utils/pandas-profiling.sh:7-17,
+    utils/writers.py:276-284). Writes the per-column stats frame as
+    parquet plus a JSON report carrying the manifest's lineage metrics,
+    both stamped with the table version so reports are reproducible
+    point-in-time artifacts."""
+    import os
+
+    from .functions.profile import profile_table
+    from .plans.lake import LakeTable
+
+    spark = _spark(args)
+    table = LakeTable(spark, args.table)
+    version = table.current_version()
+    prof = profile_table(table.read(), sample_fraction=args.sample_fraction)
+    out_dir = args.out or os.path.join(args.table, "_profile")
+    pq_path = os.path.join(out_dir, f"v{version:06d}")
+    prof.coalesce(1).write.mode("overwrite").parquet(pq_path)
+    rows = [r.asDict() for r in prof.collect()]
+    m = table.manifest()
+    json_path = os.path.join(out_dir, f"v{version:06d}.json")
+    with open(json_path, "w") as f:
+        json.dump({
+            "table": args.table,
+            "version": version,
+            "generated_unix": int(time.time()),
+            "n_rows": rows[0]["n_rows"] if rows else 0,
+            "columns": rows,
+            "last_commit_metrics": m.get("metrics", {}),
+            "applied_batches": m.get("ledger", {}).get("applied_count", 0),
+            "watermark_seq": m.get("watermark_seq"),
+        }, f, indent=1, default=str)
+    print(json.dumps({"report": json_path, "parquet": pq_path,
+                      "version": version, "columns": len(rows)}))
+    return 0
+
+
 def cmd_show(args) -> int:
     from .plans.lake import LakeTable
     from .streaming import stream_metrics
@@ -353,6 +391,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="key value (repeatable)")
     _add_common(p)
     p.set_defaults(fn=cmd_lookup)
+
+    p = sub.add_parser("profile", help="write a versioned per-column profiling report (parquet + JSON)")
+    p.add_argument("--table", required=True)
+    p.add_argument("--out", default=None, help="report dir (default <table>/_profile)")
+    p.add_argument("--sample-fraction", type=float, default=None)
+    _add_common(p)
+    p.set_defaults(fn=cmd_profile)
 
     p = sub.add_parser("show", help="table state, schema, lineage")
     p.add_argument("--table", required=True)

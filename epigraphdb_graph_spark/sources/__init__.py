@@ -6,4 +6,9 @@ from .readers import (  # noqa: F401
     read_wide_matrix,
 )
 from .ingest import Dataset, ingest, ingest_all  # noqa: F401
-from .api import fetch_partitioned, fetch_records  # noqa: F401
+from .api import (  # noqa: F401
+    fetch_paged,
+    fetch_partitioned,
+    fetch_records,
+    with_retry,
+)

@@ -21,12 +21,84 @@ in this module itself.
 
 from __future__ import annotations
 
+import time
 from collections.abc import Callable, Iterable, Iterator
 
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+
+def with_retry(
+    fetcher: Callable,
+    *,
+    retries: int = 4,
+    backoff_s: float = 0.5,
+    backoff_mult: float = 2.0,
+    retry_on: tuple[type[BaseException], ...] = (Exception,),
+    sleep: Callable[[float], None] = time.sleep,
+) -> Callable:
+    """Wrap a fetcher with bounded exponential-backoff retries — the
+    hardening the reference's paged POST harvest loop needs but does not
+    have (one transient 5xx aborts a 34-167 min run,
+    source/get_opengwas.py:35-45, get_gwas_melodi.py:128-129).
+
+    ``retries`` is the number of RE-attempts after the first call (so at
+    most ``retries + 1`` calls); delays are ``backoff_s * backoff_mult**i``.
+    The wrapper is a plain closure — serializable, so it hardens both the
+    driver-side paging loop and per-id fetchers shipped into
+    ``fetch_partitioned`` executors. ``sleep`` is injectable for tests."""
+    if retries < 0:
+        raise ValueError("retries must be >= 0")
+
+    def wrapped(*a, **kw):
+        delay = backoff_s
+        for attempt in range(retries + 1):
+            try:
+                return fetcher(*a, **kw)
+            except retry_on:
+                if attempt == retries:
+                    raise
+                sleep(delay)
+                delay *= backoff_mult
+
+    return wrapped
+
+
+def fetch_paged(
+    spark: SparkSession,
+    fetch_page: Callable[[object], tuple[list[dict], object | None]],
+    *,
+    schema: T.StructType | str,
+    start_cursor: object = 0,
+    max_pages: int | None = None,
+    retries: int = 4,
+    backoff_s: float = 0.5,
+    sleep: Callable[[float], None] = time.sleep,
+) -> DataFrame:
+    """Driver-side cursor-paging loop -> DataFrame (the reference's paged
+    POST shape, source/get_opengwas.py:35-45, made explicit and retried).
+
+    ``fetch_page(cursor) -> (records, next_cursor)``; paging stops when
+    ``next_cursor`` is None (or ``max_pages`` is hit — a guard against
+    an API that echoes the same cursor forever). Each page call is
+    retried with exponential backoff, so one transient failure resumes
+    from the SAME cursor instead of restarting the harvest."""
+    hardened = with_retry(fetch_page, retries=retries, backoff_s=backoff_s,
+                          sleep=sleep)
+    records: list[dict] = []
+    cursor: object | None = start_cursor
+    pages = 0
+    while cursor is not None:
+        if max_pages is not None and pages >= max_pages:
+            break
+        page, cursor = hardened(cursor)
+        records.extend(page)
+        pages += 1
+    if not records:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(pd.DataFrame(records), schema)
 
 
 def fetch_records(

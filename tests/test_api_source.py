@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from epigraphdb_graph_spark.sources.api import fetch_partitioned, fetch_records
 
 
@@ -41,3 +43,85 @@ def test_fetch_partitioned_fanout(spark):
     assert len(pdf) == 19 * 2
     assert 13 not in set(pdf["gid"])
     assert pdf.loc[pdf["gid"] == 7, "value"].tolist() == [70.0, 71.0]
+
+
+def test_with_retry_transient_failure_then_success(spark):
+    """A fetch that fails twice with a transient error succeeds on the
+    3rd attempt, with exponential backoff delays (injected sleep)."""
+    from epigraphdb_graph_spark.sources.api import with_retry
+
+    calls, delays = [], []
+
+    def flaky(x):
+        calls.append(x)
+        if len(calls) < 3:
+            raise ConnectionError("503")
+        return x * 2
+
+    out = with_retry(flaky, retries=4, backoff_s=0.5,
+                     sleep=delays.append)(21)
+    assert out == 42
+    assert len(calls) == 3
+    assert delays == [0.5, 1.0]          # exponential, only on failures
+
+    # exhausted retries re-raise the last error
+    def always(x):
+        raise ConnectionError("down")
+
+    with pytest.raises(ConnectionError):
+        with_retry(always, retries=2, backoff_s=0.1, sleep=delays.append)(1)
+
+
+def test_fetch_paged_cursor_drain_and_flaky_page(spark):
+    """Cursor paging drains until next_cursor None; a transient failure
+    mid-harvest resumes from the SAME cursor (no duplicate/lost pages);
+    max_pages bounds a cursor-echoing API."""
+    from epigraphdb_graph_spark.sources.api import fetch_paged
+
+    fails = {1: 1}  # page 1 fails once before succeeding
+
+    def fetch_page(cursor):
+        if fails.get(cursor, 0) > 0:
+            fails[cursor] -= 1
+            raise ConnectionError("flake")
+        recs = [{"page": cursor, "i": i} for i in range(3)]
+        nxt = cursor + 1 if cursor < 2 else None
+        return recs, nxt
+
+    df = fetch_paged(spark, fetch_page, schema="page long, i long",
+                     sleep=lambda s: None)
+    pdf = df.toPandas().sort_values(["page", "i"]).reset_index(drop=True)
+    assert len(pdf) == 9                       # 3 pages x 3, no dups
+    assert sorted(set(pdf["page"])) == [0, 1, 2]
+
+    # cursor-echo guard
+    df2 = fetch_paged(spark, lambda c: ([{"page": c, "i": 0}], c),
+                      schema="page long, i long", max_pages=5,
+                      sleep=lambda s: None)
+    assert df2.count() == 5
+
+
+def test_fetch_partitioned_with_retried_fetcher(spark):
+    """with_retry composes with executor-side fan-out: a per-id fetcher
+    that flakes deterministically on first call per id still yields every
+    record (closure state is per-python-worker, so flake once per id via
+    id parity instead)."""
+    from epigraphdb_graph_spark.sources.api import with_retry
+
+    def flaky_once(gid):
+        # deterministic 'transient' failure emulation: raise inside, the
+        # retry wrapper absorbs it via a mutable cell
+        cell = flaky_once.seen
+        if gid not in cell:
+            cell.add(gid)
+            raise ConnectionError("transient")
+        return [{"gid": int(gid), "value": float(gid)}]
+
+    flaky_once.seen = set()
+    ids = spark.range(8).withColumnRenamed("id", "gid").coalesce(1)
+    out = fetch_partitioned(
+        ids, with_retry(flaky_once, retries=2, backoff_s=0.0,
+                        sleep=lambda s: None),
+        schema="gid long, value double", id_col="gid")
+    pdf = out.toPandas()
+    assert sorted(pdf["gid"]) == list(range(8))

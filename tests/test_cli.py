@@ -99,3 +99,29 @@ def test_cli_lookup_pruned_point_read(tmp_path):
     # d0 is the Zipf head: its low-numbered pages are all but certain to
     # exist (and survive LWW) in a 4000-event log
     assert out["found"] >= 1
+
+
+@pytest.mark.slow
+def test_cli_profile_writes_versioned_report(tmp_path):
+    """K6 report artifact: `cli profile` persists the per-column stats
+    frame as versioned parquet + a JSON report carrying lineage metrics
+    (reference's per-dataset pandas-profiling sink,
+    utils/pandas-profiling.sh:7-17, utils/writers.py:276-284)."""
+    table = str(tmp_path / "pages")
+    _run(["replay", "--table", table, "--events", "3000", "--batches", "1",
+          "--mode", "mor", "--master", "local[4]"])
+    p = _last_json(_run(["profile", "--table", table, "--master", "local[4]"]))
+    assert p["columns"] > 0 and p["version"] >= 1
+    assert os.path.isdir(p["parquet"])
+    with open(p["report"]) as f:
+        rep = json.load(f)
+    assert rep["version"] == p["version"]
+    assert rep["n_rows"] > 0
+    cols = {c["column"]: c for c in rep["columns"]}
+    assert "url" in cols and cols["url"]["n_null"] == 0
+    assert rep["applied_batches"] == 1
+    # report is versioned: a second run after another commit makes a new one
+    _run(["compact", "--table", table, "--master", "local[4]"])
+    p2 = _last_json(_run(["profile", "--table", table, "--master", "local[4]"]))
+    assert p2["version"] > p["version"]
+    assert os.path.exists(p["report"]) and os.path.exists(p2["report"])
