@@ -158,6 +158,13 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     spark = get_spark("bench", master=f"local[{cpus}]")
+    # ERROR-only logging for the bench: the streaming phase's Observation
+    # accumulators can emit a benign WARN-with-stack from
+    # DAGScheduler.updateAccumulators when a speculative/late task update
+    # lands after its stage completed (accumulator already garbage-
+    # collected); it is log noise, not a failure — keep the headline
+    # bench log free of JVM stacks
+    spark.sparkContext.setLogLevel("ERROR")
 
     qmap = entrymod.queries()
     # session warmup (scheduler, codegen, file listing) so the first timed
@@ -178,6 +185,7 @@ def main() -> None:
     # session; a restart isolates the headline metric from it
     spark.stop()
     spark = get_spark("bench-replay", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")  # see note above
 
     n_events = max(int(EVENTS_PER_SF * sf), 10_000)
     bench_replay(spark, 10_000, n_batches=2)  # warmup (JIT/codegen/python workers)
@@ -190,9 +198,12 @@ def main() -> None:
     heavy_s, heavy_ev, _ = bench_replay(spark, heavy_n, mode="mor",
                                         body_repeat=100, repeats=2)
     # streaming tailer path (binlog-tail surface of the north rule):
-    # micro-batched file-stream drain + checkpoint-resume probe
-    stream_n = max(n_events // 5, 10_000)
-    stream_s, stream_ev = bench_stream(spark, stream_n)
+    # micro-batched file-stream drain + checkpoint-resume probe. Same
+    # event volume as the batch replay (8 micro-batches of n/8 — the
+    # tailer catching up on a backlog, the shape where throughput is the
+    # question; per-micro-batch fixed cost ~0.9s dominates at tiny
+    # batches, see the batch-granularity sweep in BENCH/BASELINE.md)
+    stream_s, stream_ev = bench_stream(spark, n_events)
     timings["cdc_replay"] = round(replay_s, 3)
     timings["cdc_replay_cow"] = round(cow_s, 3)
     timings["cdc_replay_7kb"] = round(heavy_s, 3)

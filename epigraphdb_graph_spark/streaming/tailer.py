@@ -41,6 +41,31 @@ from ..replay import prepare_batch
 from ..schema import CHANGE_EVENT_SCHEMA, PAGES_SCHEMA
 
 
+#: exchange-width policy target: rows per post-exchange task. Below this
+#: the per-task Arrow/python-worker setup of the dedup+extraction stage
+#: outweighs the parallelism it buys (measured ~20-25% per-micro-batch
+#: win narrowing 32 -> 8 at ~12k rows on local[32]).
+_MIN_ROWS_PER_EXCHANGE_TASK = 2_000
+
+
+def _pick_exchange_width(rows: int, n_buckets: int, parallelism: int) -> int | None:
+    """Width for prepare_batch's fused exchange on a micro-batch of
+    ``rows`` events: the largest power-of-two divisor of ``n_buckets``
+    that keeps >= _MIN_ROWS_PER_EXCHANGE_TASK rows per task, floored at 4
+    (below that the lost parallelism costs more than the setup saved).
+    Returns None (full width) when the batch is big enough — large
+    batches always exchange at n_buckets so partition == bucket exactly."""
+    if rows <= 0:
+        return None
+    want = max(rows // _MIN_ROWS_PER_EXCHANGE_TASK, 4)
+    if want >= min(n_buckets, parallelism):
+        return None
+    w = n_buckets
+    while w > 4 and w % 2 == 0 and w // 2 >= want:
+        w //= 2
+    return w if w < n_buckets else None
+
+
 def tail_change_log(
     spark: SparkSession,
     log_dir: str,
@@ -148,9 +173,14 @@ def tail_change_log(
             wm = got.get("wm")
             return int(wm) if wm is not None else -1
 
+        width = None
+        if aligned and prev_stats[0] is not None:
+            width = _pick_exchange_width(
+                prev_stats[0][0], m["n_buckets"], par)
         table.merge(
             prepare_batch(events, dedup=dedup, key=m["key"],
-                          bucket_into=m["n_buckets"] if aligned else None),
+                          bucket_into=m["n_buckets"] if aligned else None,
+                          exchange_width=width),
             batch_id=f"stream-{ns}:{batch_id:012d}",
             watermark_seq=None,
             deferred_watermark=_wm_from_obs,

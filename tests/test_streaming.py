@@ -229,3 +229,56 @@ def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
     # open windows (end beyond the watermark) are withheld
     open_ends = got[got["window_end"] > pd.Timestamp(max_ts)]
     assert len(open_ends) == 0
+
+
+def test_pick_exchange_width_policy():
+    from epigraphdb_graph_spark.streaming.tailer import _pick_exchange_width
+
+    # tiny batch -> narrow hard, floored at 4
+    assert _pick_exchange_width(1_000, 32, 32) == 4
+    # ~12k rows on 32 buckets -> 8 (the measured sweet spot)
+    assert _pick_exchange_width(12_500, 32, 32) == 8
+    # big batch -> full width (None)
+    assert _pick_exchange_width(500_000, 32, 32) is None
+    assert _pick_exchange_width(64_000, 32, 32) is None
+    # width never exceeds n_buckets, always divides it
+    for rows in (1, 100, 5_000, 20_000, 100_000):
+        w = _pick_exchange_width(rows, 32, 32)
+        assert w is None or (32 % w == 0 and 4 <= w < 32)
+    # unknown/empty stats -> no narrowing
+    assert _pick_exchange_width(0, 32, 32) is None
+
+
+def test_prepare_batch_exchange_width_bucket_purity(spark, tmp_path, events):
+    """Narrow-exchange micro-batches must produce the same table state as
+    full-width ones AND keep every delta file bucket-pure (murmur3
+    modular nesting: pmod(h,32)=b => pmod(h,8)=b%8)."""
+    from epigraphdb_graph_spark.replay import prepare_batch
+    from epigraphdb_graph_spark.schema import PAGES_SCHEMA
+
+    path = str(tmp_path / "narrow")
+    t = LakeTable.create(spark, path, PAGES_SCHEMA, key="url", n_buckets=32)
+    for i, (lo, hi) in enumerate([(0, 700), (700, 1400), (1400, 2000)]):
+        batch = events.filter(
+            (F.col("event_seq") >= lo) & (F.col("event_seq") < hi))
+        prep = prepare_batch(batch, dedup="agg", key="url", bucket_into=32,
+                             exchange_width=8)
+        t.merge(prep, batch_id=f"w8-{i}", mode="mor", src_aligned=True,
+                watermark_seq=hi - 1)
+    # bucket purity: rows in each bucket-b delta hash to b
+    m = t.manifest()
+    assert sum(len(v) for v in m["deltas"].values()) > 0
+    for b, fl in m["deltas"].items():
+        for f in fl:
+            got = spark.read.parquet(f"{path}/{f}") \
+                .select(F.pmod(F.hash("url"), F.lit(32)).alias("h")) \
+                .distinct().collect()
+            assert [r["h"] for r in got] == [int(b)], (b, f)
+    # state equality vs oracle
+    _assert_equal(
+        t.read().select("url", "warc_ts", "text").toPandas()
+        .sort_values("url").reset_index(drop=True),
+        events.toPandas())
+    # invalid width rejected
+    with pytest.raises(ValueError, match="divisor"):
+        prepare_batch(events, dedup="agg", bucket_into=32, exchange_width=5)
