@@ -171,13 +171,23 @@ def main() -> None:
     # query doesn't absorb JVM ramp
     qmap[HEADLINE[0]](spark, sf_dir).count()
     timings: dict[str, float] = {}
+    # best-of-2 per query, matching bench_replay's repeats=2 estimator:
+    # a query's FIRST execution in a session carries per-plan codegen +
+    # broadcast-thread + scan-listing ramp (measured 2-2.5x on q03/q06 —
+    # the r1->r3 "drift" was exactly this single-sample noise, see
+    # BENCH/BASELINE.md), and the host adds hypervisor-steal spikes;
+    # min-of-2 reports the engine's steady cost
     for name in HEADLINE:
         fn = qmap[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+            assert n >= 0
+        timings[name] = round(best, 3)
 
     # fresh executor state for the replay phase: the 16-query phase leaves
     # JVM residue (cached relations, codegen classes, python workers, GC

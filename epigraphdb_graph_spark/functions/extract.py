@@ -50,10 +50,44 @@ def extract_text(html_bytes: bytes | None) -> str | None:
     return " ".join(text.split())
 
 
-@F.pandas_udf(T.StringType())
-def extract_text_udf(html: pd.Series) -> pd.Series:
+class _SessionScopedPandasUDF:
+    """Module-level pandas UDF that re-binds on SparkContext restart.
+
+    PySpark's ``UserDefinedFunction`` caches its JVM-side ``_judf`` forever
+    (``_judf_placeholder``); the wrapped function embeds the *creating*
+    context's PythonAccumulatorV2 (host/port/token of the driver-side
+    accumulator server). A module-level ``@pandas_udf`` reused after
+    ``spark.stop()`` + new session (bench.py restarts between phases;
+    long-lived services do the same) therefore has every task completion
+    spam ``ERROR DAGScheduler: Failed to update accumulator 0 ... Broken
+    pipe`` against the dead server — benign for results, but log noise.
+    Caching per *context id* keeps the one-time-wrap economics while
+    re-wrapping exactly when the old binding went stale.
+    """
+
+    def __init__(self, fn, return_type):
+        self._fn, self._rt = fn, return_type
+        self._udf = None
+        self._ctx_id: int | None = None
+        self.__doc__ = fn.__doc__
+        self.__name__ = fn.__name__
+
+    def __call__(self, *cols):
+        from pyspark import SparkContext
+
+        sc = SparkContext._active_spark_context
+        if self._udf is None or self._ctx_id != id(sc):
+            self._udf = F.pandas_udf(self._fn, self._rt)
+            self._ctx_id = id(sc)
+        return self._udf(*cols)
+
+
+def _extract_text_series(html: pd.Series) -> pd.Series:
     """Arrow-vectorized wrapper of extract_text (binary -> string)."""
     return html.map(extract_text, na_action="ignore").astype(object).where(html.notna(), None)
+
+
+extract_text_udf = _SessionScopedPandasUDF(_extract_text_series, T.StringType())
 
 
 # --------------------------------------------------------------------------
@@ -89,6 +123,8 @@ def guess_lang(text: str | None) -> str | None:
     return best_lang
 
 
-@F.pandas_udf(T.StringType())
-def guess_lang_udf(text: pd.Series) -> pd.Series:
+def _guess_lang_series(text: pd.Series) -> pd.Series:
     return text.map(guess_lang, na_action="ignore").astype(object).where(text.notna(), None)
+
+
+guess_lang_udf = _SessionScopedPandasUDF(_guess_lang_series, T.StringType())
