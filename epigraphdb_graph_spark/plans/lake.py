@@ -755,39 +755,48 @@ class LakeTable:
         Iceberg manifest-stats pruning analog). A file whose key chunks
         carry no stats gets no bounds entry (never pruned — safe)."""
         import pyarrow.parquet as pq
+        from concurrent.futures import ThreadPoolExecutor
 
         rows: dict[str, int] = {}
         bounds: dict[str, list] = {}
-        for fl in files.values():
-            for f in fl:
-                md = pq.ParquetFile(os.path.join(self.path, f)).metadata
-                rows[f] = md.num_rows
-                # Locate the key's LEAF column by path_in_schema: the Arrow
-                # top-level field index is NOT a parquet leaf index once any
-                # multi-leaf column (struct/map) precedes the key, and
-                # get_field_index returns -1 (not KeyError) for a missing
-                # name. Record no bounds when the key leaf is absent (file
-                # is then never pruned — safe).
-                idx = None
-                if md.num_row_groups > 0:
-                    rg0 = md.row_group(0)
-                    for i in range(rg0.num_columns):
-                        if rg0.column(i).path_in_schema == key:
-                            idx = i
-                            break
-                if idx is None:
-                    continue
-                lo = hi = None
-                ok = md.num_row_groups > 0
-                for g in range(md.num_row_groups):
-                    st = md.row_group(g).column(idx).statistics
-                    if st is None or not st.has_min_max:
-                        ok = False
+
+        def _md(f):
+            return f, pq.ParquetFile(os.path.join(self.path, f)).metadata
+
+        all_files = [f for fl in files.values() for f in fl]
+        # footer reads release the GIL on IO; a commit writes one file per
+        # touched bucket (32-4096), so this serial-per-commit step is worth
+        # overlapping even though each read is page-cache hot
+        with ThreadPoolExecutor(max_workers=min(16, max(len(all_files), 1))) as ex:
+            metas = list(ex.map(_md, all_files))
+        for f, md in metas:
+            rows[f] = md.num_rows
+            # Locate the key's LEAF column by path_in_schema: the Arrow
+            # top-level field index is NOT a parquet leaf index once any
+            # multi-leaf column (struct/map) precedes the key, and
+            # get_field_index returns -1 (not KeyError) for a missing
+            # name. Record no bounds when the key leaf is absent (file
+            # is then never pruned — safe).
+            idx = None
+            if md.num_row_groups > 0:
+                rg0 = md.row_group(0)
+                for i in range(rg0.num_columns):
+                    if rg0.column(i).path_in_schema == key:
+                        idx = i
                         break
-                    lo = st.min if lo is None else min(lo, st.min)
-                    hi = st.max if hi is None else max(hi, st.max)
-                if ok and lo is not None:
-                    bounds[f] = [lo, hi]
+            if idx is None:
+                continue
+            lo = hi = None
+            ok = md.num_row_groups > 0
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if ok and lo is not None:
+                bounds[f] = [lo, hi]
         return rows, bounds
 
     @staticmethod

@@ -181,7 +181,10 @@ def read_change_log(
     ]
     if sizes:
         if target_splits is None:
-            target_splits = spark.sparkContext.defaultParallelism
+            import os as _os
+
+            waves = int(_os.environ.get("SPARK_GRAFT_SCAN_WAVES", "1"))
+            target_splits = spark.sparkContext.defaultParallelism * max(waves, 1)
         default_max = 128 << 20
         open_cost = 4 << 20  # spark.sql.files.openCostInBytes default
         padded = sum(s + open_cost for s in sizes)  # packing-effective bytes

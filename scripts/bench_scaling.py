@@ -143,9 +143,13 @@ def main():
     # both levels of one trial sample the same host weather)
     pair_effs = [(b / a) / (hi / lo) for a, b in pairs]
     eff_pair = max(pair_effs)
+    srt = sorted(pair_effs)
+    n = len(srt)
+    eff_median = (srt[n // 2] if n % 2 else (srt[n // 2 - 1] + srt[n // 2]) / 2)
     print(f"scaling efficiency ({lo} -> {hi} cores, x{hi//lo}): "
           f"best-of-levels {eff:.3f}; same-window pairs "
-          f"{', '.join(f'{e:.3f}' for e in pair_effs)} (best {eff_pair:.3f})")
+          f"{', '.join(f'{e:.3f}' for e in pair_effs)} "
+          f"(best {eff_pair:.3f}, median {eff_median:.3f})")
     assert best[lo]["final_rows"] == best[hi]["final_rows"], "nondeterministic state!"
 
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%MZ")
@@ -156,7 +160,8 @@ def main():
         f"| {lo}->{hi} | {tp_lo} | {tp_hi} | {eff:.3f} "
         f"| {best[hi]['final_rows']} |\n"
         f"  - same-window pair efficiencies: "
-        f"{', '.join(f'{e:.3f}' for e in pair_effs)} (best {eff_pair:.3f})\n"
+        f"{', '.join(f'{e:.3f}' for e in pair_effs)} "
+        f"(best {eff_pair:.3f}, median {eff_median:.3f})\n"
     )
     header = ("| run (UTC) | mode | events | ~page B | cores N->4N "
               "| ev/s @N | ev/s @4N | efficiency | final rows |\n")
