@@ -80,7 +80,8 @@ def cmd_replay(args) -> int:
             replay(spark, f"{wdir}/t",
                    generate_change_events(spark, warmup_n, seed=1,
                                           body_repeat=args.body_repeat),
-                   n_batches=1, n_buckets=args.buckets, mode=args.mode)
+                   n_batches=1, n_buckets=args.buckets, mode=args.mode,
+                   delta_layout=getattr(args, "mor_layout", "clustered"))
             if args.mode == "mor":
                 # the timed region ends in compaction — warm its codegen
                 # (resolution + rewrite plans) too, not just the commit path
@@ -94,6 +95,7 @@ def cmd_replay(args) -> int:
         spark, args.table, events, n_batches=args.batches,
         n_buckets=args.buckets, mode=args.mode, compact_every=args.compact_every,
         dead_letter_dir=args.dead_letter_dir, mor_dedup=mor_dedup,
+        delta_layout=getattr(args, "mor_layout", "clustered"),
     )
     wall = time.perf_counter() - t0
     n_events = events.count()
@@ -321,6 +323,13 @@ def main(argv: list[str] | None = None) -> int:
                         "agg (per-key max_by), filter (column-pruned winner "
                         "broadcast — right for parquet/column-prunable logs "
                         "with KB pages), none (append-all)")
+    p.add_argument("--mor-layout", choices=["clustered", "scattered"],
+                   default="clustered",
+                   help="MOR delta file layout: clustered (bucket exchange, "
+                        "one file per touched bucket) or scattered "
+                        "(shuffle-free barrier-free commit; each scan task "
+                        "writes the buckets it touches, compaction folds "
+                        "the extra files)")
     p.add_argument("--warmup", action="store_true",
                    help="untimed small replay first (JIT + python-worker startup)")
     p.add_argument("--dead-letter-dir", default=None,

@@ -880,6 +880,7 @@ class LakeTable:
         extra_metrics: dict | None = None,
         src_aligned: bool = False,
         deferred_watermark=None,
+        delta_layout: str = "clustered",
     ) -> MergeResult:
         """Apply a deduplicated change batch with MERGE semantics.
 
@@ -912,6 +913,14 @@ class LakeTable:
             CDC tailing; run ``compact()`` on a cadence to re-bound read
             cost. Both modes converge to identical table states because
             resolution uses the same (_ts, _seq) total order.
+
+        ``delta_layout`` (MOR only): ``"clustered"`` (default) exchanges
+        the batch into bucket layout before the delta write (one file per
+        touched bucket); ``"scattered"`` writes with NO exchange — each
+        scan task emits every bucket it touches (files stay bucket-pure
+        via partitionBy; a bucket's rows span up to one file per task).
+        Scattered is the streaming-ingest tradeoff (shuffle-free, barrier-
+        free commit; more small files, folded by compaction).
         """
         if mode not in ("cow", "mor"):
             raise ValueError(f"unknown merge mode {mode!r}")
@@ -958,6 +967,7 @@ class LakeTable:
                 batch_id=batch_id, collect_metrics=collect_metrics,
                 watermark_seq=watermark_seq, extra_metrics=extra,
                 src_aligned=src_aligned, deferred_watermark=deferred_watermark,
+                delta_layout=delta_layout,
             )
 
         # persist (COW): the updates lineage (dedup + extraction UDF) is
@@ -1162,6 +1172,7 @@ class LakeTable:
         extra_metrics: dict | None = None,
         src_aligned: bool = False,
         deferred_watermark=None,
+        delta_layout: str = "clustered",
     ) -> MergeResult:
         """Merge-on-read commit: append the batch as per-bucket delta
         files. O(batch) — no target read, no join; per-key LWW resolution
@@ -1198,14 +1209,28 @@ class LakeTable:
                 F.sum(F.when(F.unix_micros(F.col("_ts")) < F.lit(late_thr), 1)
                       .otherwise(0)).alias("_late"),
             )
-        new_files = self._write_snapshot(
+        if src_aligned and m.get("bucket_hash") == "murmur3":
             # aligned src (prepare_batch fused exchange): the batch is
             # already partition b == bucket b — append delta files with NO
             # exchange at all (the O(batch) commit's only stage is
             # scan->write)
-            out if src_aligned and m.get("bucket_hash") == "murmur3"
-            else self._bucket_repartition(out, m), version, kind="delta",
-            bloom_key=m["key"],
+            to_write = out
+        elif delta_layout == "scattered":
+            # Hudi/Iceberg streaming-ingest analog: skip the bucket
+            # exchange entirely and let each scan task write every bucket
+            # it touches (partitionBy splits by the _bucket VALUE, so
+            # files stay bucket-pure — a bucket's delta rows just span up
+            # to one file per scan task). Trades more, smaller delta
+            # files per commit (bounded by compaction cadence) for a
+            # commit with NO shuffle and NO stage barrier: the batch is
+            # scan->filter->extract->write in one fused stage, so a slow
+            # scan split delays only its own write, not an exchange
+            # barrier the whole batch waits on.
+            to_write = out
+        else:
+            to_write = self._bucket_repartition(out, m)
+        new_files = self._write_snapshot(
+            to_write, version, kind="delta", bloom_key=m["key"],
         )
         if not new_files:  # empty batch: ledger-only commit (cf. COW path)
             if batch_id is not None:

@@ -229,12 +229,18 @@ def apply_batch(
     mode: str = "cow",
     dead_letter_dir: str | None = None,
     mor_dedup: bool | str = "auto",
+    delta_layout: str = "clustered",
 ) -> MergeResult:
     """Apply one change batch. With ``dead_letter_dir``, malformed events
     are quarantined there (parquet, with a _reason column) instead of
     poisoning the merge, and the per-reason counts land in the commit's
     lineage metrics — the accounted version of the reference's
-    --skip-bad-relationships + import-report check (SURVEY J8/K2)."""
+    --skip-bad-relationships + import-report check (SURVEY J8/K2).
+
+    ``delta_layout="scattered"`` (MOR only) skips prepare_batch's fused
+    bucket exchange AND the merge-side repartition: the commit is one
+    fused scan->winner-filter->extract->write stage with no shuffle and
+    no stage barrier (see LakeTable.merge)."""
     extra = None
     if dead_letter_dir is not None:
         from .operators.quarantine import quarantine
@@ -251,12 +257,14 @@ def apply_batch(
             events, n_buckets=m["n_buckets"], parallelism=par)
     else:
         dedup = mor_dedup
-    aligned = m.get("bucket_hash") == "murmur3"
+    scattered = mode == "mor" and delta_layout == "scattered"
+    aligned = m.get("bucket_hash") == "murmur3" and not scattered
     return table.merge(
         prepare_batch(events, dedup=dedup, key=m["key"],
                       bucket_into=m["n_buckets"] if aligned else None),
         batch_id=batch_id, watermark_seq=watermark_seq,
         mode=mode, extra_metrics=extra, src_aligned=aligned,
+        delta_layout=delta_layout,
     )
 
 
@@ -272,6 +280,7 @@ def replay(
     compact_every: int | None = None,
     dead_letter_dir: str | None = None,
     mor_dedup: bool | str = "auto",
+    delta_layout: str = "clustered",
 ) -> list[MergeResult]:
     """Replay a change log into a (possibly new) pages table in
     ``n_batches`` ordered micro-batches split on event_seq ranges —
@@ -338,6 +347,7 @@ def replay(
                 mode=mode,
                 dead_letter_dir=dead_letter_dir,
                 mor_dedup=mor_dedup,
+                delta_layout=delta_layout,
             )
         )
         if compact_every and (b + 1) % compact_every == 0 and not results[-1].noop:
