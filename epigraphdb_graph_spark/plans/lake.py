@@ -18,7 +18,10 @@ Layout::
       _meta/VERSION          # text: current version int (atomic rename commit)
       _meta/v{N:08d}.json    # manifest: schema, per-bucket file lists,
                              # applied batch ids, watermark, commit metrics
-      data/snap-{N:08d}/_bucket=K/part-*.parquet
+      data/snap-{N:08d}-{uuid8}/_bucket=K/part-*.parquet
+                             # (uuid8 keeps concurrent writers' attempt
+                             # dirs disjoint; manifests reference files
+                             # by explicit path, never by dir pattern)
 
 Scale design (what holds at 100 TB / 1000 executors):
 
@@ -62,6 +65,14 @@ from ..schema import merge_schemas
 SYS_COLS = ["_seq", "_ts", "_deleted"]
 _META = "_meta"
 _DATA = "data"
+
+#: optimistic-concurrency bounds: MOR appends rebase-and-retry this many
+#: times on a lost commit race before surfacing ConcurrentWriteError
+_COMMIT_RETRIES = 4
+#: a manifest file for version v with the table pointer still at v's
+#: parent and older than this is an ABANDONED half-commit (writer died
+#: between manifest create and pointer swap) — safe to replace
+_ABANDONED_COMMIT_GRACE_S = 60.0
 
 # MOR read resolution: broadcast the (delta-key -> winning _ord) relation
 # only while pending delta rows stay under this bound; beyond it (compaction
@@ -299,8 +310,40 @@ class LakeTable:
                     f"v{current} — concurrent writer detected"
                 )
         mpath = os.path.join(self._meta_dir, f"v{v:08d}.json")
-        with open(mpath, "w") as f:
-            json.dump(manifest, f)
+        try:
+            # exclusive create is the true arbiter (closes the TOCTOU
+            # window of the parent pre-check above): exactly one writer
+            # can create v{N}.json; the loser sees EEXIST *before* the
+            # pointer moves and rebases/retries. POSIX O_EXCL here; the
+            # object-store deployment swaps in a conditional put
+            # (if-none-match) — same protocol, Iceberg's commit model.
+            fd = os.open(mpath, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        except FileExistsError:
+            import time as _time
+
+            abandoned = (
+                parent is not None
+                and self.current_version() == parent
+                and _time.time() - os.path.getmtime(mpath)
+                > _ABANDONED_COMMIT_GRACE_S
+            )
+            if not abandoned:
+                raise ConcurrentWriteError(
+                    f"manifest v{v} already exists — a concurrent writer "
+                    f"won this version (table pointer may not have moved "
+                    f"yet); re-read the manifest and rebase"
+                ) from None
+            # abandoned half-commit (writer died between manifest create
+            # and pointer swap): replace atomically and proceed — its data
+            # files are unreferenced orphans for expire_snapshots
+            tmp_m = os.path.join(self._meta_dir, f".v{v}.{uuid.uuid4().hex}")
+            with open(tmp_m, "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmp_m, mpath)
+            fd = None
+        if fd is not None:
+            with os.fdopen(fd, "w") as f:
+                json.dump(manifest, f)
         tmp = os.path.join(self._meta_dir, f".VERSION.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             f.write(str(v))
@@ -708,7 +751,15 @@ class LakeTable:
         on pushed key-equality predicates instead of decoding them. Base
         files are key-sorted by compaction, where bounds already prune,
         so they skip the bloom's write+size cost)."""
-        snap_rel = os.path.join(_DATA, f"{kind}-{version:08d}")
+        # unique suffix: two writers deriving from the same parent would
+        # otherwise race into the SAME dir (mode=overwrite clobbers the
+        # winner's files before the loser's commit is even refused) — with
+        # unique dirs the loser's files are simply unreferenced, the
+        # manifest CAS (_commit) arbitrates, and a rebase retry can reuse
+        # the already-written files because nothing references dir names
+        # by version (manifests carry explicit relative paths)
+        snap_rel = os.path.join(
+            _DATA, f"{kind}-{version:08d}-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.path, snap_rel)
         with _static_plan(self.spark):
             w = df.write.mode("overwrite").partitionBy("_bucket")
@@ -1267,31 +1318,61 @@ class LakeTable:
             watermark_seq = wm_row[0] if wm_row[0] is not None else -1
         watermark = max(m["watermark_seq"], watermark_seq)
 
-        deltas = dict(m.get("deltas", {}))
-        for b, fl in new_files.items():
-            deltas[b] = list(deltas.get(b, [])) + fl
-        wm_ts = m.get("watermark_ts")
         obs_ts = metrics.pop("_wm_ts_obs", None)
-        if obs_ts is not None:
-            wm_ts = obs_ts if wm_ts is None else max(wm_ts, obs_ts)
-        self._commit({
-            **m,
-            "version": version,
-            "parent": m["version"],
-            "schema": new_schema.jsonValue(),
-            "deltas": deltas,
-            "file_rows": self._carry_file_stats(
-                m, m.get("files", {}), deltas, new_rows),
-            "file_key_bounds": self._carry_file_stats(
-                m, m.get("files", {}), deltas, new_bounds, "file_key_bounds"),
-            "ledger": _ledger_add(m, batch_id),
-            "watermark_seq": watermark,
-            "watermark_ts": wm_ts,
-            "metrics": {"op": "merge", "batch_id": batch_id, **metrics, **extra},
-        })
+
+        def _build(base: dict) -> dict:
+            """Commit manifest derived from ``base`` — separated out so a
+            lost commit race can REBASE: a MOR append is semantically
+            independent of concurrent appends (delta file lists merge,
+            ledgers union, watermarks max, schemas additive-merge), so on
+            ConcurrentWriteError the same already-written data files are
+            re-committed against the fresh manifest with no Spark work."""
+            deltas = dict(base.get("deltas", {}))
+            for b, fl in new_files.items():
+                deltas[b] = list(deltas.get(b, [])) + fl
+            wm_ts = base.get("watermark_ts")
+            if obs_ts is not None:
+                wm_ts = obs_ts if wm_ts is None else max(wm_ts, obs_ts)
+            schema = merge_schemas(
+                T.StructType.fromJson(base["schema"]), new_schema)
+            return {
+                **base,
+                "version": base["version"] + 1,
+                "parent": base["version"],
+                "schema": schema.jsonValue(),
+                "deltas": deltas,
+                "file_rows": self._carry_file_stats(
+                    base, base.get("files", {}), deltas, new_rows),
+                "file_key_bounds": self._carry_file_stats(
+                    base, base.get("files", {}), deltas, new_bounds,
+                    "file_key_bounds"),
+                "ledger": _ledger_add(base, batch_id),
+                "watermark_seq": max(base["watermark_seq"], watermark),
+                "watermark_ts": wm_ts,
+                "metrics": {"op": "merge", "batch_id": batch_id,
+                            **metrics, **extra},
+            }
+
+        base = m
+        for attempt in range(_COMMIT_RETRIES):
+            if attempt:
+                base = self.manifest()  # rebase on the winner's snapshot
+                if batch_id is not None and _batch_seen(base, batch_id):
+                    # a concurrent writer applied THIS batch (shared log,
+                    # competing tailers): exactly-once holds — our attempt
+                    # dir becomes an orphan (expire_snapshots sweeps it)
+                    return MergeResult(base["version"], 0, 0, 0, 0, 0,
+                                       noop=True)
+            try:
+                committed = _build(base)
+                self._commit(committed)
+                break
+            except ConcurrentWriteError:
+                if attempt == _COMMIT_RETRIES - 1:
+                    raise
         return MergeResult(
-            version, inserted=n_upserts, updated=0, deleted=n_deletes,
-            stale_skipped=0, touched_buckets=len(new_files),
+            committed["version"], inserted=n_upserts, updated=0,
+            deleted=n_deletes, stale_skipped=0, touched_buckets=len(new_files),
         )
 
     # ---------------------------------------------------------- change feed

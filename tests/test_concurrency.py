@@ -39,3 +39,100 @@ def test_sequential_commits_unaffected(spark, tmp_path):
     table.compact()
     assert table.current_version() == 3
     assert table.read().count() == 1
+
+
+def _stale_first_manifest(w: LakeTable, stale: dict):
+    """Make w's next manifest() return a snapshot captured earlier (the
+    deterministic two-writer race: w derived its commit from `stale`
+    while another writer advanced the table), then fall through to the
+    real method so the rebase path reads fresh state."""
+    real = type(w).manifest
+    calls = {"n": 0}
+
+    def fake(self=w):
+        calls["n"] += 1
+        return dict(stale) if calls["n"] == 1 else real(w)
+
+    w.manifest = fake
+    return calls
+
+
+def test_mor_rebase_retry_merges_both_batches(spark, tmp_path):
+    """Two writers derive MOR appends from the same snapshot; the loser's
+    commit hits the CAS, rebases onto the winner's manifest, and re-commits
+    the already-written delta files — both batches land, no Spark re-run."""
+    path = str(tmp_path / "t3")
+    LakeTable.create(spark, path, PAGES_SCHEMA, key="url", n_buckets=2)
+    w1, w2 = LakeTable(spark, path), LakeTable(spark, path)
+    stale = w2.manifest()  # w2's view before w1 commits
+
+    r1 = w1.merge(_prep(spark, 1, "https://a.org/p1"), batch_id="w1:b1",
+                  mode="mor")
+    assert r1.version == 1
+
+    _stale_first_manifest(w2, stale)
+    r2 = w2.merge(_prep(spark, 2, "https://a.org/p2"), batch_id="w2:b1",
+                  mode="mor")
+    assert not r2.noop
+    assert r2.version == 2  # rebased past w1's commit
+
+    t = LakeTable(spark, path)
+    from epigraphdb_graph_spark.plans.lake import _batch_seen
+
+    m = t.manifest()
+    assert _batch_seen(m, "w1:b1") and _batch_seen(m, "w2:b1")
+    got = {r["url"] for r in t.read().select("url").collect()}
+    assert got == {"https://a.org/p1", "https://a.org/p2"}
+
+
+def test_mor_rebase_same_batch_is_exactly_once_noop(spark, tmp_path):
+    """Competing tailers of the SAME log: the loser discovers its batch_id
+    in the winner's ledger during rebase and returns a committed no-op."""
+    path = str(tmp_path / "t4")
+    LakeTable.create(spark, path, PAGES_SCHEMA, key="url", n_buckets=2)
+    w1, w2 = LakeTable(spark, path), LakeTable(spark, path)
+    stale = w2.manifest()
+
+    w1.merge(_prep(spark, 1, "https://a.org/p1"), batch_id="shared:b1",
+             mode="mor")
+    _stale_first_manifest(w2, stale)
+    r2 = w2.merge(_prep(spark, 1, "https://a.org/p1"), batch_id="shared:b1",
+                  mode="mor")
+    assert r2.noop
+    t = LakeTable(spark, path)
+    assert t.read().count() == 1
+    assert t.current_version() == 1  # no second commit
+
+
+def test_abandoned_half_commit_healed(spark, tmp_path):
+    """A writer that died between manifest create and pointer swap leaves
+    v{N}.json with the pointer at N-1; after the grace period the next
+    commit of N replaces it instead of deadlocking on EEXIST."""
+    import json as _json
+    import os as _os
+
+    path = str(tmp_path / "t5")
+    LakeTable.create(spark, path, PAGES_SCHEMA, key="url", n_buckets=2)
+    t = LakeTable(spark, path)
+    # simulate the crash: v1 manifest exists, VERSION still 0
+    mpath = _os.path.join(t._meta_dir, "v00000001.json")
+    with open(mpath, "w") as f:
+        _json.dump({**t.manifest(), "version": 1, "parent": 0,
+                    "metrics": {"op": "dead"}}, f)
+    past = _os.path.getmtime(mpath) - 120
+    _os.utime(mpath, (past, past))
+    assert t.current_version() == 0
+
+    r = t.merge(_prep(spark, 1, "https://a.org/p1"), batch_id="b1",
+                mode="mor")
+    assert r.version == 1 and not r.noop
+    assert t.current_version() == 1
+    assert LakeTable(spark, path).read().count() == 1
+
+
+def _prep(spark, seq, url):
+    """Deduped one-row batch in merge()'s expected shape (prepare_batch
+    output: key/ts/payload + event_seq + op + extracted text)."""
+    from epigraphdb_graph_spark.replay import prepare_batch
+
+    return prepare_batch(_ev(spark, seq, url=url), dedup=True)

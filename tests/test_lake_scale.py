@@ -353,7 +353,21 @@ def test_crashed_commit_is_invisible_and_recoverable(spark, tmp_path, events,
     from epigraphdb_graph_spark.plans.lake import _batch_seen
     assert not _batch_seen(table.manifest(), "crashed:000000000099")
 
-    # recovery: next writer just commits; orphan v+1 manifest is replaced
+    # within the abandoned-commit grace period the orphan could be a LIVE
+    # writer between manifest-create and pointer-swap: the next commit
+    # must refuse loudly (OCC), not clobber it
+    import pytest as _pytest
+
+    from epigraphdb_graph_spark.plans.lake import ConcurrentWriteError
+    with _pytest.raises(ConcurrentWriteError):
+        replay(spark, path, rest, n_batches=1, n_buckets=4)
+    assert table.current_version() == v  # still nothing committed
+
+    # after the grace period the orphan is provably abandoned (pointer
+    # never moved): the next commit heals it in place and proceeds
+    mpath = os.path.join(table._meta_dir, f"v{v + 1:08d}.json")
+    past = os.path.getmtime(mpath) - 120
+    os.utime(mpath, (past, past))
     replay(spark, path, rest, n_batches=1, n_buckets=4)
     assert table.current_version() == v + 1
     _assert_equal(_state(spark, path), oracle_state)
