@@ -2042,6 +2042,54 @@ def q68(spark, sf):
     return t.read()
 
 
+@_q("q69_scattered_cdc_state", """
+WITH ev AS (
+  SELECT 'https://site.org/u/' || CAST(user_id AS VARCHAR) AS url,
+         ts AS warc_ts, event_id AS event_seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op,
+         props
+  FROM events),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY url ORDER BY warc_ts DESC, event_seq DESC) AS rn
+  FROM ev)
+SELECT url, warc_ts, props AS text
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+""")
+def q69(spark, sf):
+    """Scattered-delta-layout CDC replay round-trip (plans/lake.py
+    delta_layout='scattered': shuffle-free, barrier-free MOR commits;
+    each scan task writes the buckets it touches and compaction folds
+    the per-task files): the events table is cast to a change log
+    (url=user, op: error->delete, html wraps props), replayed in 3
+    ordered micro-batches through the scattered path, compacted, and the
+    final table state — LWW by (warc_ts, event_seq) with tombstoned
+    deletes, text extracted by the byte-identical pandas UDF — must
+    equal the oracle's window/filter reconstruction."""
+    from epigraphdb_graph_spark.plans.lake import LakeTable
+    from epigraphdb_graph_spark.replay import replay
+
+    e = _t(spark, sf, "events")
+    ev = e.select(
+        F.concat(F.lit("https://site.org/u/"),
+                 F.col("user_id").cast("string")).alias("url"),
+        # events.parquet carries TIMESTAMP_NTZ; the engine orders by a
+        # session-TZ (UTC-pinned) timestamp — the cast is a stable relabel
+        F.col("ts").cast("timestamp").alias("warc_ts"),
+        F.col("event_id").alias("event_seq"),
+        F.when(F.col("event_type") == "error", "delete")
+         .otherwise("insert").alias("op"),
+        F.encode(F.concat(F.lit("<p>"), F.col("props"), F.lit("</p>")),
+                 "UTF-8").alias("html"),
+    )
+    d = tempfile.mkdtemp(prefix="graft_q69_")
+    replay(spark, os.path.join(d, "t"), ev, n_batches=3, n_buckets=8,
+           mode="mor", mor_dedup="filter", delta_layout="scattered")
+    t = LakeTable(spark, os.path.join(d, "t"))
+    t.compact()
+    return t.read().select("url", "warc_ts", "text")
+
+
 @_q("q66_mysql_dump_scan", """
 SELECT s_suppkey, s_name, s_nationkey,
        CASE WHEN s_suppkey % 5 = 0 THEN NULL
