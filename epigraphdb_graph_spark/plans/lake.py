@@ -1586,27 +1586,73 @@ class LakeTable:
         out = out.sortWithinPartitions(m["key"])
         new_files = self._write_snapshot(out, version)
         new_rows, new_bounds = self._scan_new_file_stats(new_files, m["key"])
-        if full:
-            files, deltas = new_files, {}
-        else:
-            files = dict(m["files"])
-            deltas = dict(m.get("deltas", {}))
-            for b in target:
-                # a bucket can legitimately compact to zero files (all rows
-                # were tombstones and got dropped)
-                files[str(b)] = new_files.get(str(b), [])
-                deltas.pop(str(b), None)
-        self._commit({**m, "version": version, "parent": m["version"],
-                      "n_buckets": new_n, "files": files, "deltas": deltas,
-                      "file_rows": self._carry_file_stats(
-                          m, files, deltas, new_rows),
-                      "file_key_bounds": self._carry_file_stats(
-                          m, files, deltas, new_bounds, "file_key_bounds"),
-                      "metrics": {"op": "compact", "n_buckets": new_n,
-                                  "full": full,
-                                  "rewritten_buckets": (new_n if full
-                                                        else len(target))}})
-        return version
+        folded = {str(b): set(m.get("deltas", {}).get(str(b), []))
+                  for b in (target or [])}
+
+        def _build(base: dict) -> dict:
+            """Compaction commit against ``base``. Separated so a lost
+            commit race against a live TAILER can rebase (the background-
+            compactor deployment): the rewrite folded exactly the deltas
+            read from ``m``, and LWW resolution is idempotent, so deltas
+            appended since stay PENDING against the new base files and
+            resolve identically at read/next compaction. Rebase refuses
+            (ConcurrentWriteError propagates) when the race is another
+            REWRITE of the same buckets (competing compactor — a
+            misconfiguration: exactly one compactor per table), when the
+            bucket spec moved, or for full/rebucket compactions."""
+            if base is not m:
+                if full or new_n != m["n_buckets"]:
+                    raise ConcurrentWriteError(
+                        "full/rebucket compaction lost a commit race — "
+                        "rerun against the new snapshot")
+                if base.get("n_buckets") != m["n_buckets"]:
+                    raise ConcurrentWriteError(
+                        "bucket spec changed under an in-flight compaction")
+                for b in target:
+                    if base["files"].get(str(b)) != m["files"].get(str(b)):
+                        raise ConcurrentWriteError(
+                            f"bucket {b} was rewritten by a concurrent "
+                            f"compaction — rerun against the new snapshot")
+            if full:
+                files, deltas = dict(new_files), {}
+            else:
+                files = dict(base["files"])
+                deltas = dict(base.get("deltas", {}))
+                for b in target:
+                    # a bucket can legitimately compact to zero files (all
+                    # rows were tombstones and got dropped)
+                    files[str(b)] = new_files.get(str(b), [])
+                    # deltas appended AFTER our read stay pending
+                    rem = [f for f in deltas.get(str(b), [])
+                           if f not in folded[str(b)]]
+                    if rem:
+                        deltas[str(b)] = rem
+                    else:
+                        deltas.pop(str(b), None)
+            return {**base, "version": base["version"] + 1,
+                    "parent": base["version"],
+                    "n_buckets": new_n, "files": files, "deltas": deltas,
+                    "file_rows": self._carry_file_stats(
+                        base, files, deltas, new_rows),
+                    "file_key_bounds": self._carry_file_stats(
+                        base, files, deltas, new_bounds, "file_key_bounds"),
+                    "metrics": {"op": "compact", "n_buckets": new_n,
+                                "full": full,
+                                "rewritten_buckets": (new_n if full
+                                                      else len(target))}}
+
+        base = m
+        for attempt in range(_COMMIT_RETRIES):
+            if attempt:
+                base = self.manifest()  # rebase on the tailer's commit
+            try:
+                committed = _build(base)
+                self._commit(committed)
+                break
+            except ConcurrentWriteError:
+                if attempt == _COMMIT_RETRIES - 1:
+                    raise
+        return committed["version"]
 
     def pending_delta_files(self) -> int:
         return sum(len(v) for v in self.manifest().get("deltas", {}).values())

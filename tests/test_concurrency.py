@@ -136,3 +136,64 @@ def _prep(spark, seq, url):
     from epigraphdb_graph_spark.replay import prepare_batch
 
     return prepare_batch(_ev(spark, seq, url=url), dedup=True)
+
+
+def test_compaction_rebases_past_tailer_commit(spark, tmp_path):
+    """Background-compactor deployment: the compactor derives its rewrite
+    from snapshot S; a tailer appends a NEW delta before the compactor
+    commits. The compactor rebases — folded deltas fold, the tailer's
+    newer delta stays PENDING against the new base — and the final state
+    equals applying all events in order."""
+    path = str(tmp_path / "t6")
+    LakeTable.create(spark, path, PAGES_SCHEMA, key="url", n_buckets=2)
+    tailer = LakeTable(spark, path)
+    # v1, v2: two deltas the compactor will fold
+    tailer.merge(_prep(spark, 1, "https://a.org/p1"), batch_id="t:b1",
+                 mode="mor")
+    tailer.merge(_prep(spark, 2, "https://a.org/p2"), batch_id="t:b2",
+                 mode="mor")
+
+    compactor = LakeTable(spark, path)
+    stale = compactor.manifest()  # compactor's view: v2, two deltas
+
+    # the tailer wins the race with a third delta (upserting p1)
+    tailer.merge(_prep(spark, 3, "https://a.org/p1"), batch_id="t:b3",
+                 mode="mor")
+
+    _stale_first_manifest(compactor, stale)
+    v = compactor.compact()
+    t = LakeTable(spark, path)
+    m = t.manifest()
+    assert v == m["version"] == 4  # rebased past the tailer's v3
+    # the tailer's post-read delta is still pending, folded deltas gone
+    pending = [f for fl in m.get("deltas", {}).values() for f in fl]
+    assert len(pending) == 1
+    # read resolves the pending delta against the compacted base: p1's
+    # newest image (seq 3) wins
+    got = {r["url"]: r["warc_ts"] for r in
+           t.read().select("url", "warc_ts").collect()}
+    assert set(got) == {"https://a.org/p1", "https://a.org/p2"}
+    # next compaction folds the remainder; state unchanged
+    t.compact()
+    m2 = t.manifest()
+    assert not any(m2.get("deltas", {}).values())
+    got2 = {r["url"] for r in t.read().select("url").collect()}
+    assert got2 == set(got)
+
+
+def test_competing_compactors_refused(spark, tmp_path):
+    """Two compactors racing the same buckets: the loser must refuse
+    loudly (its rewrite is based on inputs the winner replaced), never
+    silently stomp the winner's fold."""
+    path = str(tmp_path / "t7")
+    LakeTable.create(spark, path, PAGES_SCHEMA, key="url", n_buckets=2)
+    t1 = LakeTable(spark, path)
+    t1.merge(_prep(spark, 1, "https://a.org/p1"), batch_id="b1", mode="mor")
+
+    c2 = LakeTable(spark, path)
+    stale = c2.manifest()
+    t1.compact()  # winner folds the delta
+
+    _stale_first_manifest(c2, stale)
+    with pytest.raises(ConcurrentWriteError):
+        c2.compact()
