@@ -68,17 +68,26 @@ class _SessionScopedPandasUDF:
     def __init__(self, fn, return_type):
         self._fn, self._rt = fn, return_type
         self._udf = None
-        self._ctx_id: int | None = None
+        # weakref to the context the cached _judf was wrapped under. Object
+        # IDENTITY via a weakref — not id(sc) — because CPython reuses ids
+        # after GC: a new SparkContext can alias a collected one's id and
+        # would keep the stale _judf bound to the dead accumulator server
+        # (the exact broken-pipe spam this class exists to prevent). A dead
+        # weakref returns None, which `is not sc` for any live context, so
+        # both "old context collected" and "different live object" rewrap.
+        self._ctx_ref = None
         self.__doc__ = fn.__doc__
         self.__name__ = fn.__name__
 
     def __call__(self, *cols):
+        import weakref
+
         from pyspark import SparkContext
 
         sc = SparkContext._active_spark_context
-        if self._udf is None or self._ctx_id != id(sc):
+        if self._udf is None or self._ctx_ref is None or self._ctx_ref() is not sc:
             self._udf = F.pandas_udf(self._fn, self._rt)
-            self._ctx_id = id(sc)
+            self._ctx_ref = weakref.ref(sc) if sc is not None else None
         return self._udf(*cols)
 
 

@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 from contextlib import contextmanager
 from dataclasses import dataclass
@@ -70,9 +71,33 @@ _DATA = "data"
 #: times on a lost commit race before surfacing ConcurrentWriteError
 _COMMIT_RETRIES = 4
 #: a manifest file for version v with the table pointer still at v's
-#: parent and older than this is an ABANDONED half-commit (writer died
-#: between manifest create and pointer swap) — safe to replace
-_ABANDONED_COMMIT_GRACE_S = 60.0
+#: parent and older than this is an ABANDONED half-commit (writer
+#: stalled or died between manifest create and pointer swap). Sized WELL
+#: above plausible driver pauses (GC, slow NFS metadata op) — a healthy
+#: writer's create→swap gap is two metadata ops, so 15 minutes of stall
+#: means the writer is gone for practical purposes; and even a writer
+#: that DOES wake after the grace is safe, because recovery rolls its
+#: manifest FORWARD (never replaces it) and the pointer swap is
+#: token-verified + monotonic (see _commit / _advance_pointer).
+_ABANDONED_COMMIT_GRACE_S = 900.0
+#: pointer-swap critical section lock: held for two metadata ops; a lock
+#: file older than this is a crashed locker and gets broken
+_POINTER_LOCK_STALE_S = 10.0
+
+
+def _rebase_backoff(attempt: int) -> None:
+    """Jittered exponential backoff before a commit-rebase attempt.
+
+    Without it the loser's manifest() re-read can land inside the
+    winner's manifest-create → pointer-swap window: it rebuilds the SAME
+    version, hits EEXIST again, and exhausts every retry in microseconds
+    — spuriously failing the exact race the retry loop exists to absorb.
+    A few-ms randomized wait is invisible at micro-batch cadence and lets
+    the winner's pointer swap (two metadata ops) complete."""
+    import random
+    import time as _time
+
+    _time.sleep(random.uniform(0.001, 0.02 * (2 ** min(attempt, 6))))
 
 # MOR read resolution: broadcast the (delta-key -> winning _ord) relation
 # only while pending delta rows stay under this bound; beyond it (compaction
@@ -140,7 +165,17 @@ def _spark_murmur3(data: bytes, seed: int = 42) -> int:
 
 
 class ConcurrentWriteError(RuntimeError):
-    """A second writer committed between this writer's read and commit."""
+    """A second writer committed between this writer's read and commit.
+    Retryable: a rebase (MOR) or re-prepare (COW/spec-change) against the
+    fresh snapshot resolves it."""
+
+
+class CommitInFlightError(ConcurrentWriteError):
+    """A half-commit for the target version exists but is within the
+    abandoned-commit grace — its writer may still be finishing its pointer
+    swap. NOT immediately retryable: either that writer completes (the
+    retry then rebases normally) or the grace expires (recovery rolls it
+    forward / quarantines it); until then re-preparing just spins."""
 
 
 @contextmanager
@@ -295,13 +330,31 @@ class LakeTable:
         return T.StructType.fromJson(self.manifest(version)["schema"])
 
     def _commit(self, manifest: dict) -> None:
-        """Atomic pointer swap with an optimistic-concurrency check
-        (Iceberg-style CAS on the metadata pointer): the commit only lands
-        if the table is still at the snapshot this manifest was derived
-        from. The tailer is the intended single writer; this turns an
-        accidental second writer into a loud error instead of lost commits."""
+        """Two-phase commit: exclusive-create of the version manifest, then
+        a token-verified, monotonic pointer swap (Iceberg-style CAS on the
+        metadata pointer). Exactly one writer can create v{N}.json (POSIX
+        O_EXCL here; the object-store deployment swaps in a conditional
+        put — same protocol); the loser rebases to a new version.
+
+        Half-commit recovery never loses a commit: a writer stalled
+        between manifest create and pointer swap past the grace period
+        gets its manifest ROLLED FORWARD (the recoverer advances the
+        pointer to it and rebases its own commit on top) — the stalled
+        writer's data files stay referenced and its success report stays
+        true. The stalled writer's own late pointer swap is then an
+        idempotent no-op, verified by a per-commit writer token; the
+        pointer itself only ever moves forward (two recoverers can both
+        attempt the roll-forward — the pointer lock serializes them and
+        the second sees it already done). Only a manifest that is stale
+        AND unparseable (writer died mid-write — it can never finish) is
+        quarantined aside so the version number can be reused."""
         v = manifest["version"]
         parent = manifest.get("parent")
+        token = uuid.uuid4().hex
+        # token FIRST so ownership checks are a tiny head read, not a full
+        # manifest parse (manifests carry O(files) state)
+        manifest = {"writer": token, **{k: w for k, w in manifest.items()
+                                        if k != "writer"}}
         if parent is not None:
             current = self.current_version()
             if current != parent:
@@ -310,44 +363,160 @@ class LakeTable:
                     f"v{current} — concurrent writer detected"
                 )
         mpath = os.path.join(self._meta_dir, f"v{v:08d}.json")
-        try:
-            # exclusive create is the true arbiter (closes the TOCTOU
-            # window of the parent pre-check above): exactly one writer
-            # can create v{N}.json; the loser sees EEXIST *before* the
-            # pointer moves and rebases/retries. POSIX O_EXCL here; the
-            # object-store deployment swaps in a conditional put
-            # (if-none-match) — same protocol, Iceberg's commit model.
-            fd = os.open(mpath, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
-        except FileExistsError:
-            import time as _time
+        for _ in range(2):  # second pass only after quarantining a corrupt
+            try:           # half-commit (frees the version for reuse)
+                fd = os.open(mpath, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+                break
+            except FileExistsError:
+                self._recover_half_commit(v, parent, mpath)
+        else:
+            raise ConcurrentWriteError(
+                f"manifest v{v} re-appeared after quarantine — racing "
+                f"recoverers; rebase")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        self._advance_pointer(v, parent, token)
 
-            abandoned = (
-                parent is not None
-                and self.current_version() == parent
-                and _time.time() - os.path.getmtime(mpath)
-                > _ABANDONED_COMMIT_GRACE_S
-            )
-            if not abandoned:
+    def _manifest_token(self, mpath: str) -> str | None:
+        """Writer token from a manifest's head bytes (token is the first
+        key — no full parse). None = missing or corrupt/mid-write head."""
+        try:
+            with open(mpath, "rb") as f:
+                head = f.read(256).decode("utf-8", errors="replace")
+        except FileNotFoundError:
+            return None
+        m2 = re.match(r'\s*\{\s*"writer"\s*:\s*"([0-9a-f]{32})"', head)
+        return m2.group(1) if m2 else None
+
+    @contextmanager
+    def _pointer_lock(self):
+        """Serializes pointer reads-then-swaps (the only mutable metadata).
+        Held for two metadata ops; a lock older than _POINTER_LOCK_STALE_S
+        is a crashed locker and is broken by atomic rename (only one
+        breaker wins the rename; everyone still acquires via O_EXCL, so
+        there is exactly one holder). Local-FS stand-in for the
+        conditional-update pointer a real deployment uses (Iceberg's
+        catalog CAS / Delta's LogStore put-if-absent)."""
+        import random
+        import time as _time
+
+        lock = os.path.join(self._meta_dir, "POINTER.lock")
+        deadline = _time.monotonic() + 30.0
+        while True:
+            try:
+                lfd = os.open(lock, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+                os.close(lfd)
+                break
+            except FileExistsError:
+                try:
+                    stale = (_time.time() - os.path.getmtime(lock)
+                             > _POINTER_LOCK_STALE_S)
+                except FileNotFoundError:
+                    continue  # released between EEXIST and stat — retry
+                if stale:
+                    try:  # rename, not unlink: only ONE breaker can win
+                        os.rename(lock, lock + ".broken." + uuid.uuid4().hex)
+                    except FileNotFoundError:
+                        pass
+                    continue
+                if _time.monotonic() > deadline:
+                    raise ConcurrentWriteError(
+                        "pointer lock held beyond deadline — metadata store "
+                        "unhealthy")
+                _time.sleep(random.uniform(0.001, 0.01))
+        try:
+            yield
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+
+    def _advance_pointer(self, v: int, parent: int | None,
+                         token: str) -> None:
+        """Move the table pointer to ``v`` — forward-only, ownership-
+        verified. Returns normally iff commit ``v`` (ours, by token) is
+        visible at or below the current pointer when we're done."""
+        mpath = os.path.join(self._meta_dir, f"v{v:08d}.json")
+        with self._pointer_lock():
+            try:
+                cur = self.current_version()
+            except FileNotFoundError:
+                cur = None  # table creation: no pointer yet
+            if cur is None or cur == parent:
+                if self._manifest_token(mpath) != token:
+                    # we stalled past the grace and a recoverer quarantined
+                    # our (then-unreadable) manifest; v may now belong to
+                    # someone else — our commit did NOT land
+                    raise ConcurrentWriteError(
+                        f"commit v{v} was quarantined while this writer "
+                        f"was stalled — rebase and retry")
+                tmp = os.path.join(self._meta_dir,
+                                   f".VERSION.{uuid.uuid4().hex}")
+                with open(tmp, "w") as f:
+                    f.write(str(v))
+                os.replace(tmp, os.path.join(self._meta_dir, "VERSION"))
+                return
+            # pointer moved while we were stalled: either a recoverer
+            # rolled OUR commit forward (idempotent success) or replaced
+            # the version (loud failure — caller rebases; data files
+            # become orphans for expire_snapshots)
+            if cur >= v and self._manifest_token(mpath) == token:
+                return
+            raise ConcurrentWriteError(
+                f"commit v{v} was superseded while this writer was "
+                f"stalled (pointer at v{cur}) — rebase and retry")
+
+    def _recover_half_commit(self, v: int, parent: int | None,
+                             mpath: str) -> None:
+        """Called by the EEXIST loser. Raises ConcurrentWriteError for a
+        normal lost race, an in-flight (within-grace) writer, or after
+        rolling a stale-but-valid half-commit forward; RETURNS (only) after
+        quarantining a stale corrupt manifest so the caller can retry the
+        exclusive create of the same version."""
+        import time as _time
+
+        if parent is None or self.current_version() != parent:
+            raise ConcurrentWriteError(
+                f"manifest v{v} already exists — a concurrent writer won "
+                f"this version; re-read the manifest and rebase") from None
+        try:
+            age = _time.time() - os.path.getmtime(mpath)
+        except FileNotFoundError:
+            # quarantined/vanished between EEXIST and here
+            raise ConcurrentWriteError(
+                f"manifest v{v} vanished mid-recovery — rebase") from None
+        if age <= _ABANDONED_COMMIT_GRACE_S:
+            raise CommitInFlightError(
+                f"manifest v{v} already exists (written {age:.0f}s ago, "
+                f"within the {_ABANDONED_COMMIT_GRACE_S:.0f}s grace) — its "
+                f"writer may still be finishing; rebase") from None
+        # stale half-commit. Valid manifest -> roll it forward (advance the
+        # pointer on the dead writer's behalf; never lose its commit).
+        # Unparseable (died mid-write) -> quarantine aside, version reusable.
+        with self._pointer_lock():
+            if self.current_version() != parent:
                 raise ConcurrentWriteError(
-                    f"manifest v{v} already exists — a concurrent writer "
-                    f"won this version (table pointer may not have moved "
-                    f"yet); re-read the manifest and rebase"
-                ) from None
-            # abandoned half-commit (writer died between manifest create
-            # and pointer swap): replace atomically and proceed — its data
-            # files are unreferenced orphans for expire_snapshots
-            tmp_m = os.path.join(self._meta_dir, f".v{v}.{uuid.uuid4().hex}")
-            with open(tmp_m, "w") as f:
-                json.dump(manifest, f)
-            os.replace(tmp_m, mpath)
-            fd = None
-        if fd is not None:
-            with os.fdopen(fd, "w") as f:
-                json.dump(manifest, f)
-        tmp = os.path.join(self._meta_dir, f".VERSION.{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            f.write(str(v))
-        os.replace(tmp, os.path.join(self._meta_dir, "VERSION"))  # atomic
+                    f"lost the recovery race for v{v} — rebase") from None
+            try:
+                with open(mpath) as f:
+                    dead = json.load(f)
+                valid = (dead.get("version") == v
+                         and dead.get("parent") == parent)
+            except (ValueError, FileNotFoundError):
+                valid = False
+            if valid:
+                tmp = os.path.join(self._meta_dir,
+                                   f".VERSION.{uuid.uuid4().hex}")
+                with open(tmp, "w") as f:
+                    f.write(str(v))
+                os.replace(tmp, os.path.join(self._meta_dir, "VERSION"))
+            else:
+                os.rename(mpath, mpath + ".abandoned." + uuid.uuid4().hex)
+                return  # caller may retry the exclusive create of v
+        raise ConcurrentWriteError(
+            f"rolled forward abandoned commit v{v} (its writer stalled "
+            f"after writing the manifest) — rebase onto it") from None
 
     # ---------------------------------------------------------------- create
     @classmethod
@@ -1356,6 +1525,7 @@ class LakeTable:
         base = m
         for attempt in range(_COMMIT_RETRIES):
             if attempt:
+                _rebase_backoff(attempt)
                 base = self.manifest()  # rebase on the winner's snapshot
                 if batch_id is not None and _batch_seen(base, batch_id):
                     # a concurrent writer applied THIS batch (shared log,
@@ -1363,6 +1533,22 @@ class LakeTable:
                     # dir becomes an orphan (expire_snapshots sweeps it)
                     return MergeResult(base["version"], 0, 0, 0, 0, 0,
                                        noop=True)
+            # bucket-spec guard (mirror of the compaction-side rebase
+            # guard): the delta files were written keyed by m's bucket
+            # ids, so if the lost race was a rebucket / full compaction
+            # the rebase would merge old-spec file lists into a new-spec
+            # manifest — rows invisible to bucket-pruned reads and
+            # droppable by the next incremental compaction. Force a full
+            # re-prepare under the new spec instead. No retry: a spec
+            # change can never be absorbed by rebasing these files.
+            if base.get("n_buckets") != m["n_buckets"] or (
+                base.get("bucket_hash") != m.get("bucket_hash")
+            ):
+                raise ConcurrentWriteError(
+                    "bucket spec changed under an in-flight MOR append "
+                    f"(n_buckets {m['n_buckets']} -> {base.get('n_buckets')})"
+                    " — re-prepare the batch under the new spec"
+                )
             try:
                 committed = _build(base)
                 self._commit(committed)
@@ -1644,6 +1830,7 @@ class LakeTable:
         base = m
         for attempt in range(_COMMIT_RETRIES):
             if attempt:
+                _rebase_backoff(attempt)
                 base = self.manifest()  # rebase on the tailer's commit
             try:
                 committed = _build(base)

@@ -240,32 +240,56 @@ def apply_batch(
     ``delta_layout="scattered"`` (MOR only) skips prepare_batch's fused
     bucket exchange AND the merge-side repartition: the commit is one
     fused scan->winner-filter->extract->write stage with no shuffle and
-    no stage barrier (see LakeTable.merge)."""
+    no stage barrier (see LakeTable.merge).
+
+    Batch-level OCC retry: merge() absorbs MOR commit races internally by
+    re-committing the already-written delta files against the fresh
+    manifest, but some races require a full RE-PREPARE — a COW lost race
+    (the rewrite referenced superseded base files), a bucket-spec change
+    under an in-flight MOR append, or an abandoned half-commit that got
+    rolled forward. Those surface as ConcurrentWriteError; re-running the
+    whole prepare+merge against the fresh snapshot is then both correct
+    (exactly-once holds: the batch ledger skips a batch a competing
+    writer landed, and re-applied rows are per-row stale no-ops) and the
+    only sound recovery — so do it here, bounded."""
+    from .plans.lake import CommitInFlightError, ConcurrentWriteError
+
     extra = None
     if dead_letter_dir is not None:
         from .operators.quarantine import quarantine
 
         events, counts = quarantine(events, dead_letter_dir)
         extra = {"quarantined": counts}
-    m = table.manifest()
     par = events.sparkSession.sparkContext.defaultParallelism
-    if mode == "cow":
-        dedup: bool | str = choose_cow_dedup(
-            n_buckets=m["n_buckets"], parallelism=par)
-    elif mor_dedup == "auto":
-        dedup = choose_mor_dedup(
-            events, n_buckets=m["n_buckets"], parallelism=par)
-    else:
-        dedup = mor_dedup
-    scattered = mode == "mor" and delta_layout == "scattered"
-    aligned = m.get("bucket_hash") == "murmur3" and not scattered
-    return table.merge(
-        prepare_batch(events, dedup=dedup, key=m["key"],
-                      bucket_into=m["n_buckets"] if aligned else None),
-        batch_id=batch_id, watermark_seq=watermark_seq,
-        mode=mode, extra_metrics=extra, src_aligned=aligned,
-        delta_layout=delta_layout,
-    )
+    last_err: ConcurrentWriteError | None = None
+    for _ in range(3):
+        m = table.manifest()
+        if mode == "cow":
+            dedup: bool | str = choose_cow_dedup(
+                n_buckets=m["n_buckets"], parallelism=par)
+        elif mor_dedup == "auto":
+            dedup = choose_mor_dedup(
+                events, n_buckets=m["n_buckets"], parallelism=par)
+        else:
+            dedup = mor_dedup
+        scattered = mode == "mor" and delta_layout == "scattered"
+        aligned = m.get("bucket_hash") == "murmur3" and not scattered
+        try:
+            return table.merge(
+                prepare_batch(events, dedup=dedup, key=m["key"],
+                              bucket_into=m["n_buckets"] if aligned else None),
+                batch_id=batch_id, watermark_seq=watermark_seq,
+                mode=mode, extra_metrics=extra, src_aligned=aligned,
+                delta_layout=delta_layout,
+            )
+        except CommitInFlightError:
+            # a possibly-live writer holds the next version (within the
+            # abandoned-commit grace) — merge() already rebased with
+            # backoff; re-preparing in a tight loop just spins. Surface it.
+            raise
+        except ConcurrentWriteError as e:
+            last_err = e
+    raise last_err
 
 
 def replay(

@@ -41,17 +41,20 @@ def test_sequential_commits_unaffected(spark, tmp_path):
     assert table.read().count() == 1
 
 
-def _stale_first_manifest(w: LakeTable, stale: dict):
-    """Make w's next manifest() return a snapshot captured earlier (the
-    deterministic two-writer race: w derived its commit from `stale`
-    while another writer advanced the table), then fall through to the
-    real method so the rebase path reads fresh state."""
+def _stale_first_manifest(w: LakeTable, stale: dict, n_stale: int = 1):
+    """Make w's next ``n_stale`` manifest() calls return a snapshot
+    captured earlier (the deterministic two-writer race: w derived its
+    commit from `stale` while another writer advanced the table), then
+    fall through to the real method so the rebase path reads fresh
+    state."""
     real = type(w).manifest
     calls = {"n": 0}
 
-    def fake(self=w):
+    def fake(self=w, version=None):
         calls["n"] += 1
-        return dict(stale) if calls["n"] == 1 else real(w)
+        if version is None and calls["n"] <= n_stale:
+            return dict(stale)
+        return real(w, version)
 
     w.manifest = fake
     return calls
@@ -104,30 +107,126 @@ def test_mor_rebase_same_batch_is_exactly_once_noop(spark, tmp_path):
     assert t.current_version() == 1  # no second commit
 
 
-def test_abandoned_half_commit_healed(spark, tmp_path):
-    """A writer that died between manifest create and pointer swap leaves
-    v{N}.json with the pointer at N-1; after the grace period the next
-    commit of N replaces it instead of deadlocking on EEXIST."""
+def test_mor_rebase_refuses_after_rebucket(spark, tmp_path):
+    """ADVICE r4: if the lost race was a REBUCKET (compact(n_buckets=...)),
+    the MOR append's delta files are keyed by OLD bucket ids — rebasing
+    them into the new-spec manifest would make rows invisible to
+    bucket-pruned reads. The rebase must refuse (ConcurrentWriteError),
+    and the batch-level retry must re-prepare under the new spec."""
+    path = str(tmp_path / "t6")
+    LakeTable.create(spark, path, PAGES_SCHEMA, key="url", n_buckets=2)
+    w1, w2 = LakeTable(spark, path), LakeTable(spark, path)
+    apply_batch(w1, _ev(spark, 1, "https://a.org/p1"), batch_id="b1",
+                mode="mor")
+    stale = w2.manifest()          # v1, n_buckets=2
+    w1.compact(n_buckets=4)        # rebucket -> v2, n_buckets=4
+
+    _stale_first_manifest(w2, stale)
+    with pytest.raises(ConcurrentWriteError):
+        w2.merge(_prep(spark, 2, "https://a.org/p2"), batch_id="b2",
+                 mode="mor")
+    t = LakeTable(spark, path)
+    assert t.current_version() == 2  # nothing landed under the wrong spec
+
+    # apply_batch's re-prepare path: same race, healed end-to-end
+    # (stale twice: apply_batch's policy read + merge's own read)
+    w3 = LakeTable(spark, path)
+    _stale_first_manifest(w3, stale, n_stale=2)
+    r = apply_batch(w3, _ev(spark, 3, "https://a.org/p3"), batch_id="b3",
+                    mode="mor")
+    assert not r.noop
+    got = {r["url"] for r in t.read().select("url").collect()}
+    assert got == {"https://a.org/p1", "https://a.org/p3"}
+
+
+def test_abandoned_half_commit_rolled_forward(spark, tmp_path):
+    """A writer that stalled between manifest create and pointer swap
+    leaves a VALID v{N}.json with the pointer at N-1; after the grace
+    period the next commit ROLLS IT FORWARD (the stalled writer's commit
+    is preserved, never replaced) and rebases itself on top — no deadlock
+    on EEXIST, no lost commit."""
     import json as _json
     import os as _os
+
+    from epigraphdb_graph_spark.plans.lake import _ABANDONED_COMMIT_GRACE_S
 
     path = str(tmp_path / "t5")
     LakeTable.create(spark, path, PAGES_SCHEMA, key="url", n_buckets=2)
     t = LakeTable(spark, path)
-    # simulate the crash: v1 manifest exists, VERSION still 0
+    # simulate the stall: v1 manifest exists (valid), VERSION still 0
     mpath = _os.path.join(t._meta_dir, "v00000001.json")
     with open(mpath, "w") as f:
-        _json.dump({**t.manifest(), "version": 1, "parent": 0,
-                    "metrics": {"op": "dead"}}, f)
-    past = _os.path.getmtime(mpath) - 120
+        _json.dump({**t.manifest(), "writer": "f" * 32, "version": 1,
+                    "parent": 0, "metrics": {"op": "stalled"}}, f)
+    past = _os.path.getmtime(mpath) - _ABANDONED_COMMIT_GRACE_S - 60
     _os.utime(mpath, (past, past))
     assert t.current_version() == 0
 
-    r = t.merge(_prep(spark, 1, "https://a.org/p1"), batch_id="b1",
-                mode="mor")
-    assert r.version == 1 and not r.noop
-    assert t.current_version() == 1
+    r = apply_batch(t, _ev(spark, 1, "https://a.org/p1"), batch_id="b1",
+                    mode="mor")
+    assert r.version == 2 and not r.noop  # rebased past the rolled-forward v1
+    assert t.current_version() == 2
+    # the stalled writer's manifest is LIVE in the history (rolled forward,
+    # not replaced) and its late pointer swap is an idempotent no-op
+    assert t.manifest(1)["metrics"]["op"] == "stalled"
+    t._advance_pointer(1, 0, "f" * 32)
+    assert t.current_version() == 2  # forward-only: no regression
     assert LakeTable(spark, path).read().count() == 1
+
+
+def test_abandoned_half_commit_within_grace_refuses(spark, tmp_path):
+    """Within the grace period the half-commit's writer may be alive and
+    mid-swap: the next commit must surface CommitInFlightError, not
+    clobber or roll forward."""
+    import json as _json
+    import os as _os
+
+    from epigraphdb_graph_spark.plans.lake import CommitInFlightError
+
+    path = str(tmp_path / "t5b")
+    LakeTable.create(spark, path, PAGES_SCHEMA, key="url", n_buckets=2)
+    t = LakeTable(spark, path)
+    mpath = _os.path.join(t._meta_dir, "v00000001.json")
+    with open(mpath, "w") as f:
+        _json.dump({**t.manifest(), "writer": "f" * 32, "version": 1,
+                    "parent": 0, "metrics": {"op": "inflight"}}, f)
+    with pytest.raises(CommitInFlightError):
+        t.merge(_prep(spark, 1, "https://a.org/p1"), batch_id="b1",
+                mode="mor")
+    assert t.current_version() == 0  # nothing moved
+
+
+def test_corrupt_half_commit_quarantined(spark, tmp_path):
+    """A manifest whose writer died MID-WRITE (unparseable) can never be
+    rolled forward — past the grace it is quarantined aside and the
+    version number is reused by the recovering commit."""
+    import os as _os
+
+    from epigraphdb_graph_spark.plans.lake import _ABANDONED_COMMIT_GRACE_S
+
+    path = str(tmp_path / "t5c")
+    LakeTable.create(spark, path, PAGES_SCHEMA, key="url", n_buckets=2)
+    t = LakeTable(spark, path)
+    mpath = _os.path.join(t._meta_dir, "v00000001.json")
+    with open(mpath, "w") as f:
+        f.write('{"writer": "' + "a" * 32 + '", "version": 1, "par')  # truncated
+    past = _os.path.getmtime(mpath) - _ABANDONED_COMMIT_GRACE_S - 60
+    _os.utime(mpath, (past, past))
+
+    r = apply_batch(t, _ev(spark, 1, "https://a.org/p1"), batch_id="b1",
+                    mode="mor")
+    assert r.version == 1 and not r.noop  # version reused
+    assert t.current_version() == 1
+    assert t.manifest(1)["metrics"]["batch_id"] == "b1"
+    quarantined = [fn for fn in _os.listdir(t._meta_dir)
+                   if ".abandoned." in fn]
+    assert len(quarantined) == 1  # the corpse is kept aside, not deleted
+    # the mid-write writer's late pointer swap must FAIL (its commit was
+    # quarantined; v1 now belongs to the recoverer) — not silently report
+    # success while its data files are unreferenced
+    with pytest.raises(ConcurrentWriteError):
+        t._advance_pointer(1, 0, "a" * 32)
+    assert t.current_version() == 1
 
 
 def _prep(spark, seq, url):

@@ -50,6 +50,53 @@ def test_extract_udf_byte_identical_vs_oracle(spark):
     assert got["text"].map(lambda s: isinstance(s, str)).all()
 
 
+def test_session_scoped_udf_rebinds_on_context_change(spark):
+    """The cached _judf must be keyed on context IDENTITY (weakref), not
+    id(sc): CPython reuses object ids after GC, so a new SparkContext can
+    alias a collected one's id and keep a stale _judf bound to the dead
+    accumulator server. A dead weakref (old context collected) and a
+    different live object must BOTH force a rewrap; the same live context
+    must NOT."""
+    import gc
+    import weakref
+
+    from epigraphdb_graph_spark.functions.extract import (
+        _extract_text_series,
+        _SessionScopedPandasUDF,
+    )
+
+    u = _SessionScopedPandasUDF(_extract_text_series, T.StringType())
+    col1 = u(F.col("html"))
+    cached = u._udf
+    assert u._ctx_ref() is spark.sparkContext  # bound to the live context
+    assert col1 is not None
+
+    # same live context -> no rewrap (the one-time-wrap economics)
+    u(F.col("html"))
+    assert u._udf is cached
+
+    # simulate "creating context was collected, id possibly reused":
+    # a dead weakref is the post-GC state regardless of id aliasing
+    class _Ephemeral:
+        __slots__ = ("__weakref__",)
+
+    e = _Ephemeral()
+    u._ctx_ref = weakref.ref(e)
+    del e
+    gc.collect()
+    assert u._ctx_ref() is None  # dead, as after a real context GC
+    u(F.col("html"))
+    assert u._ctx_ref() is spark.sparkContext  # rebound to the live context
+
+    # different LIVE object (old context alive-but-stopped while a new one
+    # is active — the `is` comparison, never id()) -> rewrap too
+    keeper = _Ephemeral()
+    u._ctx_ref = weakref.ref(keeper)
+    u._udf = cached
+    u(F.col("html"))
+    assert u._ctx_ref() is spark.sparkContext
+
+
 def test_guess_lang(spark):
     assert guess_lang("the cat and the hat is of note") == "en"
     assert guess_lang("el que de la los") == "es"

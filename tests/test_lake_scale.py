@@ -331,8 +331,8 @@ def test_crashed_commit_is_invisible_and_recoverable(spark, tmp_path, events,
                                                      oracle_state):
     """Atomic commit property: a writer that dies AFTER writing the new
     manifest JSON but BEFORE the VERSION pointer swap leaves the table
-    exactly at the old snapshot; the next writer overwrites the orphan
-    manifest and commits normally."""
+    exactly at the old snapshot; past the grace period the next writer
+    rolls the orphan forward (never losing its commit) and lands on top."""
     path = str(tmp_path / "crash")
     half = events.filter(F.col("event_seq") < N_EVENTS // 2)
     rest = events.filter(F.col("event_seq") >= N_EVENTS // 2)
@@ -358,18 +358,21 @@ def test_crashed_commit_is_invisible_and_recoverable(spark, tmp_path, events,
     # must refuse loudly (OCC), not clobber it
     import pytest as _pytest
 
-    from epigraphdb_graph_spark.plans.lake import ConcurrentWriteError
-    with _pytest.raises(ConcurrentWriteError):
+    from epigraphdb_graph_spark.plans.lake import (
+        _ABANDONED_COMMIT_GRACE_S, CommitInFlightError)
+    with _pytest.raises(CommitInFlightError):
         replay(spark, path, rest, n_batches=1, n_buckets=4)
     assert table.current_version() == v  # still nothing committed
 
     # after the grace period the orphan is provably abandoned (pointer
-    # never moved): the next commit heals it in place and proceeds
+    # never moved): the next commit ROLLS IT FORWARD (preserving the
+    # stalled writer's state — here identical to v) and lands on top
     mpath = os.path.join(table._meta_dir, f"v{v + 1:08d}.json")
-    past = os.path.getmtime(mpath) - 120
+    past = os.path.getmtime(mpath) - _ABANDONED_COMMIT_GRACE_S - 60
     os.utime(mpath, (past, past))
     replay(spark, path, rest, n_batches=1, n_buckets=4)
-    assert table.current_version() == v + 1
+    assert table.current_version() == v + 2
+    assert table.manifest(v + 1)["metrics"]["batch_id"] == "crashed:000000000099"
     _assert_equal(_state(spark, path), oracle_state)
 
 
