@@ -361,18 +361,51 @@ ON c.nationkey = s.nationkey
 def q16(spark, sf):
     """Full-outer consolidation with coalesce conflict resolution — the
     reference's multi-source merge engine (J5/F6:
-    graph_build/merge_sources.py:162-195, first-non-empty per key)."""
+    graph_build/merge_sources.py:162-195, first-non-empty per key) —
+    executed THROUGH the engine's clause-style MERGE INTO
+    (plans/merge_into.py): the customer aggregate is bulk-loaded into a
+    lake table, the supplier aggregate is merged with WHEN MATCHED
+    UPDATE / WHEN NOT MATCHED INSERT (the lakehouse form of N-way
+    consolidation — one MERGE per source), and the consolidated state is
+    read back. Matching the plain full-outer oracle certifies the clause
+    compiler's bucket-pruned COW rewrite end-to-end."""
+    from epigraphdb_graph_spark.plans.lake import LakeTable
+    from epigraphdb_graph_spark.plans.merge_into import merge_into
+
     c = _t(spark, sf, "customer").groupBy(F.col("c_nationkey").alias("nationkey")).agg(
         F.count("*").alias("n_cust"), F.sum(_dec2("c_acctbal")).alias("cust_bal"))
     s = _t(spark, sf, "supplier").groupBy(F.col("s_nationkey").alias("nationkey")).agg(
         F.count("*").alias("n_supp"), F.sum(_dec2("s_acctbal")).alias("supp_bal"))
-    j = c.alias("c").join(s.alias("s"), F.col("c.nationkey") == F.col("s.nationkey"), "full_outer")
-    return j.select(
-        F.coalesce("c.nationkey", "s.nationkey").alias("nationkey"),
-        F.coalesce("c.n_cust", F.lit(0)).alias("n_cust"),
-        F.coalesce("s.n_supp", F.lit(0)).alias("n_supp"),
-        (F.coalesce(F.col("c.cust_bal"), F.lit(0).cast("decimal(18,2)"))
-         + F.coalesce(F.col("s.supp_bal"), F.lit(0).cast("decimal(18,2)")))
+    sum_t = c.schema["cust_bal"].dataType  # decimal sum precision
+    base = c.select(
+        F.col("nationkey").cast("string").alias("nk"),
+        "nationkey", "n_cust", "cust_bal",
+        F.lit(None).cast("long").alias("n_supp"),
+        F.lit(None).cast(sum_t).alias("supp_bal"),
+    )
+    d = tempfile.mkdtemp(prefix="graft_q16_")
+    t = LakeTable.create(spark, os.path.join(d, "t"), base.schema,
+                         key="nk", n_buckets=4)
+    t.overwrite(base)
+    src = s.select(
+        F.col("nationkey").cast("string").alias("nk"),
+        "nationkey", "n_supp", "supp_bal",
+    )
+    merge_into(
+        t, src,
+        when_matched_update={
+            "n_supp": F.col("s.n_supp"), "supp_bal": F.col("s.supp_bal")},
+        when_not_matched_insert={
+            "nk": F.col("s.nk"), "nationkey": F.col("s.nationkey"),
+            "n_supp": F.col("s.n_supp"), "supp_bal": F.col("s.supp_bal")},
+        event_time=F.lit("2026-01-01 00:00:00").cast("timestamp"),
+    )
+    return t.read().select(
+        "nationkey",
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        (F.coalesce(F.col("cust_bal"), F.lit(0).cast("decimal(18,2)"))
+         + F.coalesce(F.col("supp_bal"), F.lit(0).cast("decimal(18,2)")))
         .cast("double").alias("total_bal"),
     )
 
@@ -473,19 +506,45 @@ FROM (SELECT user_id, event_type, value,
 WHERE rn = 1 AND event_type <> 'error'
 """)
 def q22(spark, sf):
-    """The flagship LWW final-state query in pure SQL-checkable form: last
-    writer per key ordered by (ts, event_id), 'error' treated as delete
-    tombstone (engine semantics of operators/lww.py + MERGE)."""
+    """The flagship LWW final-state query, computed THROUGH the engine's
+    full CDC lake path (not a window-function shortcut): events become a
+    change log ('error' = delete tombstone), replayed in 3 ordered
+    micro-batches of shuffle-free SCATTERED MOR commits
+    (plans/lake.py delta_layout='scattered'), with a mid-replay
+    incremental COMPACTION (compact_every=2) folding the first two
+    batches' deltas, so the final read exercises MOR READ-RESOLUTION of
+    batch 3's still-pending deltas against the compacted base. The
+    payload columns (user_id/event_type/value) ride through additive
+    schema evolution. The oracle's window/filter reconstruction over the
+    raw events must match row-for-row — LWW by (ts, event_id), deleted
+    keys absent (engine semantics of operators/lww.py + MERGE)."""
+    from epigraphdb_graph_spark.plans.lake import LakeTable
+    from epigraphdb_graph_spark.replay import replay
+
     e = _t(spark, sf, "events")
-    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    return (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
-        .select(
-            "user_id",
-            F.col("event_type").alias("last_op"),
-            _dec2("value").cast("double").alias("last_value"),
-        )
+    ev = e.select(
+        F.concat(F.lit("https://site.org/u/"),
+                 F.col("user_id").cast("string")).alias("url"),
+        # events.parquet carries TIMESTAMP_NTZ; the engine orders by a
+        # session-TZ (UTC-pinned) timestamp — the cast is a stable relabel
+        F.col("ts").cast("timestamp").alias("warc_ts"),
+        F.col("event_id").alias("event_seq"),
+        F.when(F.col("event_type") == "error", "delete")
+         .otherwise("insert").alias("op"),
+        F.encode(F.concat(F.lit("<p>"), F.col("props"), F.lit("</p>")),
+                 "UTF-8").alias("html"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    d = tempfile.mkdtemp(prefix="graft_q22_")
+    replay(spark, os.path.join(d, "t"), ev, n_batches=3, n_buckets=8,
+           mode="mor", delta_layout="scattered", compact_every=2)
+    t = LakeTable(spark, os.path.join(d, "t"))
+    return t.read().select(
+        "user_id",
+        F.col("event_type").alias("last_op"),
+        _dec2("value").cast("double").alias("last_value"),
     )
 
 
