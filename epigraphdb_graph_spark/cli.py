@@ -138,6 +138,18 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_export_iceberg(args) -> int:
+    from .plans.iceberg_export import to_iceberg_metadata
+    from .plans.lake import LakeTable
+
+    spark = _spark(args)
+    table = LakeTable(spark, args.table)
+    out = to_iceberg_metadata(table, args.out)
+    print(json.dumps({"metadata": out,
+                      "version": table.current_version()}))
+    return 0
+
+
 def cmd_genlog(args) -> int:
     """Materialize a synthetic change log as parquet (the binlog stand-in
     replay --log-dir consumes). Range-partitioned on event_seq so replay's
@@ -355,6 +367,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--full", action="store_true")
     _add_common(p)
     p.set_defaults(fn=cmd_compact)
+
+    p = sub.add_parser(
+        "export-iceberg",
+        help="write Iceberg-spec table metadata for the current snapshot "
+             "(JSON manifests; see plans/iceberg_export.py for limits)")
+    p.add_argument("--table", required=True)
+    p.add_argument("--out", default=None,
+                   help="metadata output root (default: the table path)")
+    _add_common(p)
+    p.set_defaults(fn=cmd_export_iceberg)
 
     p = sub.add_parser("gen-log", help="materialize a synthetic parquet change log")
     p.add_argument("--out", required=True)

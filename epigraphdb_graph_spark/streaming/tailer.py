@@ -80,6 +80,7 @@ def tail_change_log(
     dead_letter_dir: str | None = None,
     auto_compact_delta_files: int | None = None,
     mor_dedup: bool | str = "auto",
+    compactor=None,
 ):
     """Tail ``log_dir`` (parquet change-event files) into the lake table at
     ``table_path``. Returns the StreamingQuery.
@@ -88,6 +89,15 @@ def tail_change_log(
     stops — the batch-ish mode tests and the sandbox use; pass False for a
     continuously running tailer (prod shape). ``max_files_per_trigger``
     bounds micro-batch size for steady incremental progress.
+
+    Compaction cadence, two shapes: ``auto_compact_delta_files=k`` runs
+    ``maybe_compact`` INLINE after each micro-batch (simple, but the next
+    micro-batch waits out the rewrite); a ``compactor``
+    (streaming.compactor.BackgroundCompactor) is only NOTIFIED here and
+    folds deltas on its own thread, overlapped with subsequent
+    micro-batches — safe by construction via the OCC rebase machinery,
+    and the production shape (Hudi async compaction analog). Passing
+    both uses the compactor.
     """
     if LakeTable.exists(table_path):
         table = LakeTable(spark, table_path)
@@ -188,7 +198,9 @@ def tail_change_log(
             extra_metrics=extra,
             src_aligned=aligned,
         )
-        if auto_compact_delta_files is not None:
+        if compactor is not None:
+            compactor.notify()  # non-blocking; folds on its own thread
+        elif auto_compact_delta_files is not None:
             table.maybe_compact(max_delta_files=auto_compact_delta_files)
         if cached is not None:
             cached.unpersist()
