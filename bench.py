@@ -104,16 +104,27 @@ def bench_replay(spark, n_events: int, n_batches: int = 4, n_buckets: int = 32,
 
 
 def bench_stream(spark, n_events: int, n_buckets: int = 32,
-                 micro_batches: int = 8):
+                 micro_batches: int = 8, files_per_trigger: int = 4,
+                 async_compact: int | None = None):
     """Time the Structured Streaming tailer path (the north-rule surface):
     parquet change-log -> file-stream source -> foreachBatch MERGE into the
     lake, drained with availableNow over ``micro_batches`` micro-batches,
-    then a final compaction. Returns (wall_s, n_events).
+    then compaction. Returns (wall_s, n_events).
+
+    ``async_compact=k`` runs a BackgroundCompactor (threshold k delta
+    files) overlapped with the drain — compaction leaves the micro-batch
+    critical path and by drain end is mostly done; None = one inline
+    compaction after the drain (the round-4 shape). Micro-batch count =
+    ``micro_batches`` at ``files_per_trigger`` files each (the log is
+    written as micro_batches x files_per_trigger files); the
+    files_per_trigger sweep for this host is recorded in
+    BENCH/BASELINE.md.
 
     Also exercises checkpoint resume (untimed): restarting the same
     checkpoint consumes nothing and commits nothing."""
     from epigraphdb_graph_spark.plans.lake import LakeTable
     from epigraphdb_graph_spark.sources.events import generate_change_events
+    from epigraphdb_graph_spark.streaming.compactor import BackgroundCompactor
     from epigraphdb_graph_spark.streaming.tailer import tail_change_log
 
     work = tempfile.mkdtemp(prefix="bench_stream_")
@@ -121,26 +132,35 @@ def bench_stream(spark, n_events: int, n_buckets: int = 32,
         log_dir = os.path.join(work, "log")
         table_path = os.path.join(work, "pages")
         ckpt = os.path.join(work, "ckpt")
-        n_files = micro_batches * 4
+        n_files = micro_batches * files_per_trigger
         generate_change_events(
             spark, n_events, seed=42, n_domains=200, pages_per_domain=256,
             num_partitions=n_files,
         ).write.parquet(log_dir)  # log materialization is not the tailer
 
         t0 = time.perf_counter()
-        q = tail_change_log(spark, log_dir, table_path, ckpt,
-                            n_buckets=n_buckets, mode="mor",
-                            max_files_per_trigger=4, available_now=True)
-        q.awaitTermination()
+        comp = (BackgroundCompactor(spark, table_path,
+                                    max_delta_files=async_compact)
+                if async_compact is not None else None)
+        try:
+            q = tail_change_log(spark, log_dir, table_path, ckpt,
+                                n_buckets=n_buckets, mode="mor",
+                                max_files_per_trigger=files_per_trigger,
+                                available_now=True, compactor=comp)
+            q.awaitTermination()
+        finally:
+            if comp is not None:
+                comp.close()
         table = LakeTable(spark, table_path)
-        table.compact()
+        table.compact()  # fold whatever remains (end-to-end clean state)
         wall = time.perf_counter() - t0
 
         # resume probe: same checkpoint, nothing new -> no new commits
         v = table.current_version()
         q2 = tail_change_log(spark, log_dir, table_path, ckpt,
                              n_buckets=n_buckets, mode="mor",
-                             max_files_per_trigger=4, available_now=True)
+                             max_files_per_trigger=files_per_trigger,
+                             available_now=True)
         q2.awaitTermination()
         assert table.current_version() == v, "checkpoint resume re-applied data"
         return wall, n_events

@@ -1141,6 +1141,19 @@ class LakeTable:
         via partitionBy; a bucket's rows span up to one file per task).
         Scattered is the streaming-ingest tradeoff (shuffle-free, barrier-
         free commit; more small files, folded by compaction).
+
+        Measured decision (round 5, 1M x 7KB from-log, BENCH/BASELINE.md):
+        at local[4] the two layouts are at throughput PARITY (~31-32k
+        ev/s both), but scattered costs ~15-25% at local[1] — the fused
+        extract+write task plus small-file stats/compaction overhead is
+        extra work, it just scales near-linearly (its jobs measured
+        3.6-5.0x from 1 to 4 cores vs clustered's exchange-bound 3.0x).
+        So: clustered is the single-node-throughput default; scattered is
+        the CLUSTER layout — its commit has no exchange barrier and no
+        shuffle, which is exactly the term that stops scaling, and the
+        N->4N campaigns measure it at a materially higher scaling
+        efficiency. The per-task writer sort is not the 1-core cost
+        (maxConcurrentOutputFileWriters probe showed no change).
         """
         if mode not in ("cow", "mor"):
             raise ValueError(f"unknown merge mode {mode!r}")

@@ -78,7 +78,7 @@ def gen_log(log_dir: str, n_events: int, body_repeat: int) -> None:
 
 
 def run_level(cores: int, log_dir: str, mode: str, body_repeat: int,
-              strategy: str = "filter") -> dict:
+              strategy: str = "filter", layout: str = "clustered") -> dict:
     tmp = tempfile.mkdtemp(prefix=f"scale_{cores}_")
     try:
         cmd = [
@@ -87,6 +87,7 @@ def run_level(cores: int, log_dir: str, mode: str, body_repeat: int,
             "--log-dir", log_dir,
             "--body-repeat", str(body_repeat),  # warmup page shape
             "--batches", "4", "--buckets", "32",
+            "--mor-layout", layout,
             "--mode", mode, "--master", f"local[{cores}]", "--warmup",
         ]
         if mode == "mor":
@@ -109,6 +110,13 @@ def main():
     runs = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     n_lo = int(sys.argv[5]) if len(sys.argv) > 5 else DEFAULT_N
     strategy = sys.argv[6] if len(sys.argv) > 6 else "filter"
+    layout = sys.argv[7] if len(sys.argv) > 7 else "clustered"
+    # trials per level per WINDOW: with 1, a single hypervisor-storm spike
+    # (memory: identical jobs vary 2-7x on this host) lands verbatim in
+    # that window's pair; with 2+, each window's level takes its best wall
+    # (bench.py's best-of-2 estimator) and a storm must hit both trials of
+    # a level inside one window to survive into the ratio
+    trials = int(sys.argv[8]) if len(sys.argv) > 8 else 1
     core_pair = (n_lo, 4 * n_lo)
 
     log_dir = tempfile.mkdtemp(prefix="scale_log_") + "/changelog"
@@ -123,12 +131,18 @@ def main():
         for t in range(runs):
             trial: dict[int, dict] = {}
             for cores in core_pair:
-                r = run_level(cores, log_dir, mode, body_repeat, strategy)
-                trial[cores] = r
-                print(f"local[{cores}] run{t}: {r['wall_s']}s  "
-                      f"{r['events_per_sec']} events/sec  final_rows={r['final_rows']}")
-                if cores not in best or r["events_per_sec"] > best[cores]["events_per_sec"]:
-                    best[cores] = r
+                for k in range(trials):
+                    r = run_level(cores, log_dir, mode, body_repeat,
+                                  strategy, layout)
+                    print(f"local[{cores}] run{t}.{k}: {r['wall_s']}s  "
+                          f"{r['events_per_sec']} events/sec  "
+                          f"final_rows={r['final_rows']}")
+                    if (cores not in trial or r["events_per_sec"]
+                            > trial[cores]["events_per_sec"]):
+                        trial[cores] = r
+                if cores not in best or (trial[cores]["events_per_sec"]
+                                         > best[cores]["events_per_sec"]):
+                    best[cores] = trial[cores]
             pairs.append((trial[core_pair[0]]["events_per_sec"],
                           trial[core_pair[1]]["events_per_sec"]))
     finally:
@@ -156,10 +170,11 @@ def main():
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
     path = os.path.join(ROOT, "BENCH", "BASELINE.md")
     row = (
-        f"| {stamp} | {mode}-fromlog-{strategy} | {n_events} | {70 * body_repeat} "
+        f"| {stamp} | {mode}-fromlog-{strategy}-{layout} | {n_events} | {70 * body_repeat} "
         f"| {lo}->{hi} | {tp_lo} | {tp_hi} | {eff:.3f} "
         f"| {best[hi]['final_rows']} |\n"
-        f"  - same-window pair efficiencies: "
+        f"  - same-window pair efficiencies ({trials} trial(s)/level/window, "
+        f"best wall per level): "
         f"{', '.join(f'{e:.3f}' for e in pair_effs)} "
         f"(best {eff_pair:.3f}, median {eff_median:.3f})\n"
     )
