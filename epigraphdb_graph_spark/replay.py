@@ -32,7 +32,8 @@ from .schema import PAGES_SCHEMA
 def prepare_batch(events: DataFrame, *, dedup: bool | str = True,
                   bucket_into: int | None = None,
                   exchange_width: int | None = None,
-                  key: str = "url") -> DataFrame:
+                  key: str = "url",
+                  winners: DataFrame | None = None) -> DataFrame:
     """Prepare a raw change-event batch: per-key LWW winner selection,
     then html→text extraction (on surviving rows only).
 
@@ -81,7 +82,7 @@ def prepare_batch(events: DataFrame, *, dedup: bool | str = True,
                                    seq_col="event_seq")
         elif dedup == "filter":
             events = lww_winner_filter(events, key=key, ts_col="warc_ts",
-                                       seq_col="event_seq")
+                                       seq_col="event_seq", winners=winners)
         return events.withColumn("text", extract_text_udf(F.col("html")))
     width = bucket_into
     if exchange_width is not None:
@@ -108,7 +109,7 @@ def prepare_batch(events: DataFrame, *, dedup: bool | str = True,
         # winner-select with zero payload movement (column-pruned agg +
         # broadcast join-back) — losers are dropped at the scan
         events = lww_winner_filter(events, key=key, ts_col="warc_ts",
-                                   seq_col="event_seq")
+                                   seq_col="event_seq", winners=winners)
     if dedup is not False:
         # extraction in the NARROW pre-exchange stage (width = input
         # splits, pipelined with the scan): a post-exchange UDF stage
@@ -230,6 +231,7 @@ def apply_batch(
     dead_letter_dir: str | None = None,
     mor_dedup: bool | str = "auto",
     delta_layout: str = "clustered",
+    winners: DataFrame | None = None,
 ) -> MergeResult:
     """Apply one change batch. With ``dead_letter_dir``, malformed events
     are quarantined there (parquet, with a _reason column) instead of
@@ -277,7 +279,9 @@ def apply_batch(
         try:
             return table.merge(
                 prepare_batch(events, dedup=dedup, key=m["key"],
-                              bucket_into=m["n_buckets"] if aligned else None),
+                              bucket_into=m["n_buckets"] if aligned else None,
+                              winners=winners if dedup in (True, "filter")
+                              else None),
                 batch_id=batch_id, watermark_seq=watermark_seq,
                 mode=mode, extra_metrics=extra, src_aligned=aligned,
                 delta_layout=delta_layout,
@@ -345,7 +349,51 @@ def replay(
     span = hi - lo + 1
     step = max(1, (span + n_batches - 1) // n_batches)
 
+    # Amortize the per-batch winner agg: with the broadcast-filter
+    # strategies (True/"filter"), each batch otherwise runs its own small
+    # 2-stage winner job whose fixed costs (stage scheduling, planning,
+    # broadcast build) are constant in wall time — at high parallelism
+    # they dominate the shrunk batch wall and cap scaling efficiency
+    # (measured: 4 x ~0.4s of per-batch winner jobs at local[4] vs one
+    # ~0.7s combined job; BENCH/BASELINE.md round 5). One column-pruned
+    # pass over the whole replay range computes every batch's winner set
+    # (grouped by the same floor((seq - lo)/step) ranges the loop cuts),
+    # cached — per-batch broadcast builds then read O(batch keys) from
+    # cache instead of re-scanning the log. Winner semantics are
+    # identical: winners are within-batch either way (cross-batch
+    # supersedes resolve at read/merge), and the packed ordering decimal
+    # is the shared lww._pack_ord. Skipped for a single batch (nothing to
+    # amortize) and for non-broadcast strategies (agg/False never build
+    # winner sets). Cache is O(distinct keys) rows of key+decimal.
+    winners_all = None
+    # mor_dedup is already policy-resolved here when mode == "mor" (the
+    # need_stats branch above); COW's per-batch choose_cow_dedup picks
+    # "agg" at every sane local geometry, so precomputing for it would
+    # usually be a wasted pass — gate on the MOR broadcast strategies.
+    if n_batches > 1 and mode == "mor" and mor_dedup in (True, "filter"):
+        from .operators.lww import lww_batch_winners
+
+        batch_expr = F.floor((F.col("event_seq") - F.lit(lo)) / F.lit(step))
+        winners_all = lww_batch_winners(
+            events, batch_expr, key=table.manifest()["key"],
+            ts_col="warc_ts", seq_col="event_seq").persist()
+        winners_all.count()
+
     results = []
+    try:
+        return _replay_batches(
+            table, events, results, lo=lo, step=step, hi=hi,
+            n_batches=n_batches, winners_all=winners_all, mode=mode,
+            dead_letter_dir=dead_letter_dir, mor_dedup=mor_dedup,
+            delta_layout=delta_layout, compact_every=compact_every)
+    finally:
+        if winners_all is not None:
+            winners_all.unpersist()
+
+
+def _replay_batches(table, events, results, *, lo, step, hi, n_batches,
+                    winners_all, mode, dead_letter_dir, mor_dedup,
+                    delta_layout, compact_every):
     for b in range(n_batches):
         start, end = lo + b * step, min(lo + (b + 1) * step, hi + 1)
         if start >= end:
@@ -355,6 +403,8 @@ def replay(
             apply_batch(
                 table,
                 chunk,
+                winners=(winners_all.filter(F.col("_b") == b).drop("_b")
+                         if winners_all is not None else None),
                 # "ns:seq" structured id -> O(1) ledger entry (per-namespace
                 # high watermark). The id encodes the range END so that
                 # "seq <= hwm" truly means "every log position <= hwm is
