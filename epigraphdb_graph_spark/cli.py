@@ -96,6 +96,7 @@ def cmd_replay(args) -> int:
         n_buckets=args.buckets, mode=args.mode, compact_every=args.compact_every,
         dead_letter_dir=args.dead_letter_dir, mor_dedup=mor_dedup,
         delta_layout=getattr(args, "mor_layout", "clustered"),
+        pipeline_depth=getattr(args, "pipeline", 1),
     )
     wall = time.perf_counter() - t0
     n_events = events.count()
@@ -335,6 +336,10 @@ def main(argv: list[str] | None = None) -> int:
                         "agg (per-key max_by), filter (column-pruned winner "
                         "broadcast — right for parquet/column-prunable logs "
                         "with KB pages), none (append-all)")
+    p.add_argument("--pipeline", type=int, default=1,
+                   help="MOR batches in flight (1 = serial; 2+ overlaps "
+                        "batch b+1's delta write with batch b's commit; "
+                        "commits stay ordered)")
     p.add_argument("--mor-layout", choices=["clustered", "scattered"],
                    default="clustered",
                    help="MOR delta file layout: clustered (bucket exchange, "

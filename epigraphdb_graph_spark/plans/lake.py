@@ -1101,8 +1101,15 @@ class LakeTable:
         src_aligned: bool = False,
         deferred_watermark=None,
         delta_layout: str = "clustered",
+        pre_commit=None,
     ) -> MergeResult:
         """Apply a deduplicated change batch with MERGE semantics.
+
+        ``pre_commit``: zero-arg callable invoked AFTER the batch's data
+        files are written but BEFORE its manifest commit (MOR only) —
+        the pipelined replay's commit-order barrier. Raising inside it
+        aborts the commit (the written files stay unreferenced orphans
+        for expire_snapshots).
 
         ``deferred_watermark``: zero-arg callable consulted AFTER the write
         job when ``watermark_seq`` is None — lets a caller piggyback the
@@ -1200,7 +1207,7 @@ class LakeTable:
                 batch_id=batch_id, collect_metrics=collect_metrics,
                 watermark_seq=watermark_seq, extra_metrics=extra,
                 src_aligned=src_aligned, deferred_watermark=deferred_watermark,
-                delta_layout=delta_layout,
+                delta_layout=delta_layout, pre_commit=pre_commit,
             )
 
         # persist (COW): the updates lineage (dedup + extraction UDF) is
@@ -1406,6 +1413,7 @@ class LakeTable:
         src_aligned: bool = False,
         deferred_watermark=None,
         delta_layout: str = "clustered",
+        pre_commit=None,
     ) -> MergeResult:
         """Merge-on-read commit: append the batch as per-bucket delta
         files. O(batch) — no target read, no join; per-key LWW resolution
@@ -1467,6 +1475,13 @@ class LakeTable:
         )
         if not new_files:  # empty batch: ledger-only commit (cf. COW path)
             if batch_id is not None:
+                if pre_commit is not None:  # commit-order barrier (pipelined)
+                    pre_commit()
+                    m = self.manifest()
+                    if _batch_seen(m, batch_id):
+                        return MergeResult(m["version"], 0, 0, 0, 0, 0,
+                                           noop=True)
+                    version = m["version"] + 1
                 self._commit({**m, "version": version, "parent": m["version"],
                               "ledger": _ledger_add(m, batch_id),
                               "metrics": {"op": "merge", "mode": "mor",
@@ -1536,6 +1551,22 @@ class LakeTable:
             }
 
         base = m
+        if pre_commit is not None:
+            # Pipelined replay's commit-order barrier (replay.py): this
+            # batch's data files are fully written — the expensive,
+            # freely-overlappable part — so block HERE, and only here,
+            # until every earlier batch has committed. Ordered commits
+            # keep the ledger's per-namespace high watermark ("every log
+            # position <= hwm is applied") truthful under overlapped
+            # writes. Rebase straight onto the predecessors' snapshot so
+            # the first commit attempt isn't a guaranteed lost CAS; the
+            # spec guard below still compares against ``m`` — the spec
+            # the delta files were WRITTEN under.
+            pre_commit()
+            base = self.manifest()
+            if batch_id is not None and _batch_seen(base, batch_id):
+                return MergeResult(base["version"], 0, 0, 0, 0, 0,
+                                   noop=True)
         for attempt in range(_COMMIT_RETRIES):
             if attempt:
                 _rebase_backoff(attempt)

@@ -232,6 +232,7 @@ def apply_batch(
     mor_dedup: bool | str = "auto",
     delta_layout: str = "clustered",
     winners: DataFrame | None = None,
+    pre_commit=None,
 ) -> MergeResult:
     """Apply one change batch. With ``dead_letter_dir``, malformed events
     are quarantined there (parquet, with a _reason column) instead of
@@ -284,7 +285,7 @@ def apply_batch(
                               else None),
                 batch_id=batch_id, watermark_seq=watermark_seq,
                 mode=mode, extra_metrics=extra, src_aligned=aligned,
-                delta_layout=delta_layout,
+                delta_layout=delta_layout, pre_commit=pre_commit,
             )
         except CommitInFlightError:
             # a possibly-live writer holds the next version (within the
@@ -309,6 +310,7 @@ def replay(
     dead_letter_dir: str | None = None,
     mor_dedup: bool | str = "auto",
     delta_layout: str = "clustered",
+    pipeline_depth: int = 1,
 ) -> list[MergeResult]:
     """Replay a change log into a (possibly new) pages table in
     ``n_batches`` ordered micro-batches split on event_seq ranges —
@@ -317,7 +319,14 @@ def replay(
 
     ``mode="mor"`` appends delta commits (O(batch) each) instead of COW
     rewrites; ``compact_every=k`` folds deltas into the base every k
-    batches (the production cadence that bounds read amplification)."""
+    batches (the production cadence that bounds read amplification).
+
+    ``pipeline_depth=d`` (MOR only): keep up to ``d`` batches in flight —
+    batch b+1's delta-write job overlaps batch b's straggler tail and
+    commit bookkeeping; manifest commits stay strictly ordered (see
+    _replay_batches_pipelined). Final state is identical to serial
+    replay for every depth (state is a pure function of the event set;
+    asserted by tests/test_replay_pipeline.py)."""
     if LakeTable.exists(table_path):
         table = LakeTable(spark, table_path)
     else:
@@ -385,7 +394,8 @@ def replay(
             table, events, results, lo=lo, step=step, hi=hi,
             n_batches=n_batches, winners_all=winners_all, mode=mode,
             dead_letter_dir=dead_letter_dir, mor_dedup=mor_dedup,
-            delta_layout=delta_layout, compact_every=compact_every)
+            delta_layout=delta_layout, compact_every=compact_every,
+            pipeline_depth=pipeline_depth)
     finally:
         if winners_all is not None:
             winners_all.unpersist()
@@ -393,7 +403,14 @@ def replay(
 
 def _replay_batches(table, events, results, *, lo, step, hi, n_batches,
                     winners_all, mode, dead_letter_dir, mor_dedup,
-                    delta_layout, compact_every):
+                    delta_layout, compact_every, pipeline_depth=1):
+    if pipeline_depth > 1 and mode == "mor" and n_batches > 1:
+        return _replay_batches_pipelined(
+            table, events, results, lo=lo, step=step, hi=hi,
+            n_batches=n_batches, winners_all=winners_all,
+            dead_letter_dir=dead_letter_dir, mor_dedup=mor_dedup,
+            delta_layout=delta_layout, compact_every=compact_every,
+            depth=pipeline_depth)
     for b in range(n_batches):
         start, end = lo + b * step, min(lo + (b + 1) * step, hi + 1)
         if start >= end:
@@ -426,4 +443,72 @@ def _replay_batches(table, events, results, *, lo, step, hi, n_batches,
         )
         if compact_every and (b + 1) % compact_every == 0 and not results[-1].noop:
             table.compact()
+    return results
+
+
+def _replay_batches_pipelined(table, events, results, *, lo, step, hi,
+                              n_batches, winners_all, dead_letter_dir,
+                              mor_dedup, delta_layout, compact_every, depth):
+    """Pipelined MOR replay: up to ``depth`` batches in flight at once.
+
+    The expensive part of a MOR batch — scan -> winner filter -> extract
+    -> delta-file write — is independent across batches (winner sets are
+    within-batch; cross-batch supersedes resolve at read/compact, so the
+    final state is a pure function of the event SET). Only the manifest
+    commits must stay ORDERED, because the ledger's per-namespace high
+    watermark means "every log position <= hwm is applied": committing
+    batch b+1 before batch b would let a crash between the two lose
+    batch b on resume. So batch b+1's write job runs concurrently with
+    batch b's straggler tail and driver-side commit bookkeeping (the
+    constant-wall serial term that otherwise caps scaling efficiency —
+    BENCH/BASELINE.md round 5), and its merge blocks only at the
+    ``pre_commit`` barrier until batch b has committed. Commit races
+    that slip through anyway (e.g. a concurrent compactor) are absorbed
+    by the MOR OCC rebase, which re-commits the already-written files
+    with zero Spark re-run (plans/lake.py).
+
+    Compaction cadence stays on the caller's thread and quiesces the
+    window first (waits for the cadence batch's commit); a deeper
+    overlap is legal (compactor-vs-tailer rebase is tested) but buys
+    nothing at the cadences the bench uses.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _one(b, prev_fut):
+        start, end = lo + b * step, min(lo + (b + 1) * step, hi + 1)
+        if start >= end:
+            if prev_fut is not None:
+                prev_fut.result()  # propagate predecessor failures
+            return None
+        chunk = events.filter(
+            (F.col("event_seq") >= start) & (F.col("event_seq") < end))
+        return apply_batch(
+            table,
+            chunk,
+            winners=(winners_all.filter(F.col("_b") == b).drop("_b")
+                     if winners_all is not None else None),
+            batch_id=f"replay:{end - 1:012d}",
+            watermark_seq=end - 1,
+            mode="mor",
+            dead_letter_dir=dead_letter_dir,
+            mor_dedup=mor_dedup,
+            delta_layout=delta_layout,
+            # ordered-commit barrier: predecessor committed (or failed)
+            pre_commit=(prev_fut.result if prev_fut is not None else None),
+        )
+
+    futs = []
+    with ThreadPoolExecutor(max_workers=depth) as ex:
+        prev = None
+        for b in range(n_batches):
+            prev = ex.submit(_one, b, prev)
+            futs.append(prev)
+            if compact_every and (b + 1) % compact_every == 0:
+                r = prev.result()  # quiesce the window up to the cadence
+                if r is not None and not r.noop:
+                    table.compact()
+    for f in futs:
+        r = f.result()
+        if r is not None:
+            results.append(r)
     return results

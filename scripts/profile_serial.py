@@ -67,17 +67,27 @@ def main():
     shutil.rmtree(tmp, ignore_errors=True)
 
     out_jobs = []
+    from datetime import datetime
+
+    def _ts(s: str) -> datetime:
+        return datetime.strptime(s[:23], "%Y-%m-%dT%H:%M:%S.%f")
+
     for j in jobs_info():
         if j["jobId"] in jobs_before:
             continue
-        sub = j["submissionTime"]; comp = j["completionTime"]
-        from datetime import datetime
-        fmt = "%Y-%m-%dT%H:%M:%S.%f%Z"
-        d = (datetime.strptime(comp[:23], "%Y-%m-%dT%H:%M:%S.%f")
-             - datetime.strptime(sub[:23], "%Y-%m-%dT%H:%M:%S.%f")).total_seconds()
-        out_jobs.append({"id": j["jobId"], "s": round(d, 2),
+        sub, comp = _ts(j["submissionTime"]), _ts(j["completionTime"])
+        out_jobs.append({"id": j["jobId"], "s": round((comp - sub).total_seconds(), 2),
                          "stages": j["numCompletedStages"],
-                         "tasks": j["numCompletedTasks"]})
+                         "tasks": j["numCompletedTasks"],
+                         "_sub": sub, "_comp": comp})
+    out_jobs.sort(key=lambda x: x["id"])
+    # driver-serial gap BETWEEN consecutive jobs: where the between-job
+    # time actually sits (Catalyst planning, manifest IO, commit bookkeeping)
+    for prev, cur in zip(out_jobs, out_jobs[1:]):
+        cur["gap_before_s"] = round(
+            (cur["_sub"] - prev["_comp"]).total_seconds(), 2)
+    for j in out_jobs:
+        j.pop("_sub"), j.pop("_comp")
     job_sum = sum(j["s"] for j in out_jobs)
     print(json.dumps({
         "cores": int(cores), "mode": mode, "strategy": strategy,
