@@ -60,7 +60,8 @@ EVENTS_PER_SF = 5_000_000  # 500k change events at sf0.1
 
 def bench_replay(spark, n_events: int, n_batches: int = 4, n_buckets: int = 32,
                  mode: str = "mor", compact_every: int | None = None,
-                 body_repeat: int = 1, repeats: int = 1):
+                 body_repeat: int = 1, repeats: int = 1,
+                 pipeline_depth: int = 1):
     """Time the full CDC replay path; returns (wall_s, n_events, applied_rows).
 
     Default mode is merge-on-read with no mid-replay compaction: each commit
@@ -91,7 +92,7 @@ def bench_replay(spark, n_events: int, n_batches: int = 4, n_buckets: int = 32,
             t0 = time.perf_counter()
             replay(spark, os.path.join(lake_dir, "pages"), events,
                    n_batches=n_batches, n_buckets=n_buckets, mode=mode,
-                   compact_every=compact_every)
+                   compact_every=compact_every, pipeline_depth=pipeline_depth)
             table = LakeTable(spark, os.path.join(lake_dir, "pages"))
             if mode == "mor":
                 table.compact()  # end-to-end: fold deltas into a clean base
@@ -219,14 +220,23 @@ def main() -> None:
 
     n_events = max(int(EVENTS_PER_SF * sf), 10_000)
     bench_replay(spark, 10_000, n_batches=2)  # warmup (JIT/codegen/python workers)
+    # MOR phases run pipeline_depth=2 — the production MOR config: batch
+    # b+1's delta-write job overlaps batch b's commit bookkeeping, commits
+    # stay ordered (state-identical to serial, tests/test_replay_pipeline).
+    # Round-5 interleaved A/B at this exact shape: 500k 89.8k -> 107.0k
+    # ev/s (+19%), 7KB 15.5k -> 19.2k (+24%); depth 3 adds nothing (the
+    # overlap already hides the full serial term). COW keeps depth 1:
+    # its rewrite reads the predecessor's committed state, so batches
+    # are data-dependent and cannot overlap.
     replay_s, n_ev, final_rows = bench_replay(spark, n_events, mode="mor",
-                                              repeats=2)
+                                              repeats=2, pipeline_depth=2)
     cow_s, _, _ = bench_replay(spark, n_events, mode="cow", repeats=2)
     # CC-realistic page size (7KB bodies): fewer events so the bench stays
     # bounded; throughput is per-event
     heavy_n = max(n_events // 5, 10_000)
     heavy_s, heavy_ev, _ = bench_replay(spark, heavy_n, mode="mor",
-                                        body_repeat=100, repeats=2)
+                                        body_repeat=100, repeats=2,
+                                        pipeline_depth=2)
     # streaming tailer path (binlog-tail surface of the north rule):
     # micro-batched file-stream drain + checkpoint-resume probe. Same
     # event volume as the batch replay, drained in 4 micro-batches of 8

@@ -61,14 +61,30 @@ def split_valid(events: DataFrame) -> SplitResult:
 def quarantine(
     events: DataFrame,
     dead_letter_dir: str | None = None,
+    batch_tag: str | None = None,
 ) -> tuple[DataFrame, dict]:
-    """Split, persist the dead letters (append) if a sink dir is given,
-    and return (valid_df, counts_by_reason). The counts dict goes into the
-    commit's lineage metrics (import-report-check parity — queryable
-    instead of a text report)."""
+    """Split, persist the dead letters if a sink dir is given, and return
+    (valid_df, counts_by_reason). The counts dict goes into the commit's
+    lineage metrics (import-report-check parity — queryable instead of a
+    text report).
+
+    Each call writes its dead letters under its OWN hive-style
+    subdirectory ``batch=<tag>`` rather than appending to the root:
+    concurrent Spark append jobs to one output path share the
+    FileOutputCommitter's ``_temporary/0`` staging dir, and the first
+    job's cleanup deletes the other's in-flight task output — the
+    pipelined replay (replay.pipeline_depth > 1) quarantines batches
+    concurrently, so per-batch paths are required for correctness, and
+    they double as per-batch lineage: ``spark.read.parquet(dir)``
+    partition-discovers the subdirs and exposes a ``batch`` column."""
     split = split_valid(events)
     counts_rows = split.dead.groupBy("_reason").count().collect()
     counts = {r["_reason"]: r["count"] for r in counts_rows}
     if dead_letter_dir is not None and counts:
-        split.dead.write.mode("append").parquet(dead_letter_dir)
+        from urllib.parse import quote
+        from uuid import uuid4
+
+        tag = batch_tag if batch_tag is not None else uuid4().hex
+        sub = f"{dead_letter_dir.rstrip('/')}/batch={quote(tag, safe='')}"
+        split.dead.write.mode("append").parquet(sub)
     return split.valid, counts

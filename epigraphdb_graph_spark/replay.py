@@ -261,7 +261,8 @@ def apply_batch(
     if dead_letter_dir is not None:
         from .operators.quarantine import quarantine
 
-        events, counts = quarantine(events, dead_letter_dir)
+        events, counts = quarantine(events, dead_letter_dir,
+                                    batch_tag=batch_id)
         extra = {"quarantined": counts}
     par = events.sparkSession.sparkContext.defaultParallelism
     last_err: ConcurrentWriteError | None = None

@@ -148,7 +148,8 @@ def tail_change_log(
             # quarantine splits + counts in side jobs: cache the scanned
             # batch so those jobs and the merge share one source pass
             cached = events.persist()
-            events, counts = quarantine(cached, dead_letter_dir)
+            events, counts = quarantine(cached, dead_letter_dir,
+                                        batch_tag=f"{ns}-{batch_id}")
             extra = {"quarantined": counts}
         par = batch_df.sparkSession.sparkContext.defaultParallelism
         m = table.manifest()

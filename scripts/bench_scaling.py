@@ -78,7 +78,8 @@ def gen_log(log_dir: str, n_events: int, body_repeat: int) -> None:
 
 
 def run_level(cores: int, log_dir: str, mode: str, body_repeat: int,
-              strategy: str = "filter", layout: str = "clustered") -> dict:
+              strategy: str = "filter", layout: str = "clustered",
+              pipeline: int = 1) -> dict:
     tmp = tempfile.mkdtemp(prefix=f"scale_{cores}_")
     try:
         cmd = [
@@ -88,6 +89,7 @@ def run_level(cores: int, log_dir: str, mode: str, body_repeat: int,
             "--body-repeat", str(body_repeat),  # warmup page shape
             "--batches", "4", "--buckets", "32",
             "--mor-layout", layout,
+            "--pipeline", str(pipeline),
             "--mode", mode, "--master", f"local[{cores}]", "--warmup",
         ]
         if mode == "mor":
@@ -117,6 +119,10 @@ def main():
     # (bench.py's best-of-2 estimator) and a storm must hit both trials of
     # a level inside one window to survive into the ratio
     trials = int(sys.argv[8]) if len(sys.argv) > 8 else 1
+    # MOR batches in flight (replay --pipeline): overlapping batch b+1's
+    # delta-write job with batch b's commit hides the constant per-batch
+    # driver-serial term — the dominant anti-scaling cost at this job size
+    pipeline = int(sys.argv[9]) if len(sys.argv) > 9 else 1
     core_pair = (n_lo, 4 * n_lo)
 
     log_dir = tempfile.mkdtemp(prefix="scale_log_") + "/changelog"
@@ -133,7 +139,7 @@ def main():
             for cores in core_pair:
                 for k in range(trials):
                     r = run_level(cores, log_dir, mode, body_repeat,
-                                  strategy, layout)
+                                  strategy, layout, pipeline)
                     print(f"local[{cores}] run{t}.{k}: {r['wall_s']}s  "
                           f"{r['events_per_sec']} events/sec  "
                           f"final_rows={r['final_rows']}")
@@ -170,7 +176,8 @@ def main():
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
     path = os.path.join(ROOT, "BENCH", "BASELINE.md")
     row = (
-        f"| {stamp} | {mode}-fromlog-{strategy}-{layout} | {n_events} | {70 * body_repeat} "
+        f"| {stamp} | {mode}-fromlog-{strategy}-{layout}"
+        f"{f'-pipe{pipeline}' if pipeline > 1 else ''} | {n_events} | {70 * body_repeat} "
         f"| {lo}->{hi} | {tp_lo} | {tp_hi} | {eff:.3f} "
         f"| {best[hi]['final_rows']} |\n"
         f"  - same-window pair efficiencies ({trials} trial(s)/level/window, "

@@ -68,6 +68,31 @@ def test_apply_batch_with_dead_letter(spark, tmp_path, mixed_events):
     assert spark.read.parquet(dl).count() == 5
 
 
+def test_streaming_tailer_dead_letter(spark, tmp_path, mixed_events):
+    """The tailer's quarantine path: malformed events in the change log
+    land in the dead-letter sink (namespaced per micro-batch subdir),
+    valid events merge, and the commit metrics carry the counts."""
+    from epigraphdb_graph_spark.streaming.tailer import tail_change_log
+
+    log_dir = str(tmp_path / "log")
+    mixed_events.write.parquet(log_dir)
+    dl = str(tmp_path / "dead")
+    q = tail_change_log(spark, log_dir, str(tmp_path / "pages"),
+                        str(tmp_path / "ckpt"), n_buckets=4, mode="mor",
+                        available_now=True, dead_letter_dir=dl)
+    q.awaitTermination()
+    table = LakeTable(spark, str(tmp_path / "pages"))
+    assert sorted(r["url"] for r in table.read().collect()) == [
+        "https://a.org/p1"]
+    dead = spark.read.parquet(dl)
+    assert dead.count() == 5
+    assert "batch" in dead.columns  # per-micro-batch lineage subdir
+    hist = [m for m in table.history()
+            if m["metrics"].get("op") == "merge"]
+    assert sum(m["metrics"]["quarantined"]["bad_op"] for m in hist
+               if m["metrics"].get("quarantined")) == 1
+
+
 def test_clean_batch_no_dead_letter_write(spark, tmp_path):
     ts = pd.Timestamp("2024-03-01")
     clean = spark.createDataFrame(pd.DataFrame(

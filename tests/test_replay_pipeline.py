@@ -72,6 +72,42 @@ def test_pipelined_with_midstream_compaction(spark, tmp_path):
     assert any(m.get("files", {}).values())
 
 
+def test_pipelined_dead_letter_per_batch_dirs(spark, tmp_path):
+    """Concurrent batches quarantining into ONE dead-letter root must not
+    race on the FileOutputCommitter staging dir: quarantine() writes each
+    batch under its own ``batch=<id>`` subdir (hive partition layout), so
+    overlapped writes never share a ``_temporary``. All dead letters
+    survive, attributed to their batch, and valid state matches serial."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    events = _events(spark)
+    hi = events.agg(F.max("event_seq")).first()[0]
+    step = (hi + 1) // 4 or 1
+    # one malformed event per batch slice (bad_op), seqs inside each range
+    ts = pd.Timestamp("2024-03-01")
+    bad = spark.createDataFrame(pd.DataFrame(
+        [(b * step + 1, "upsert", f"https://bad.org/{b}", ts, b"<p>x</p>")
+         for b in range(4)],
+        columns=["event_seq", "op", "url", "warc_ts", "html"]))
+    mixed = events.unionByName(bad)
+    dl_p = str(tmp_path / "dead_pipe")
+    piped = replay(spark, str(tmp_path / "pipe"), mixed, n_batches=4,
+                   n_buckets=8, mode="mor", mor_dedup="filter",
+                   pipeline_depth=3, dead_letter_dir=dl_p)
+    serial = replay(spark, str(tmp_path / "serial"), mixed, n_batches=4,
+                    n_buckets=8, mode="mor", mor_dedup="filter",
+                    dead_letter_dir=str(tmp_path / "dead_serial"))
+    assert len(piped) == len(serial) == 4
+    assert _state(spark, str(tmp_path / "serial")) == _state(
+        spark, str(tmp_path / "pipe"))
+    dead = spark.read.parquet(dl_p)
+    assert dead.count() == 4
+    # per-batch attribution via partition discovery: 4 distinct batch dirs
+    assert dead.select("batch").distinct().count() == 4
+    assert set(r["_reason"] for r in dead.collect()) == {"bad_op"}
+
+
 def test_pipelined_resume_skips_committed(spark, tmp_path):
     """Exactly-once across a re-run: replaying the same log over the
     pipelined table applies zero new rows (every batch id is in the
