@@ -31,7 +31,8 @@ full-shape warmup; per level the best of ``--runs`` trials is kept
 (the sandbox host shows multi-second interference spikes).
 
 Writes/updates BENCH/BASELINE.md. Usage:
-    python scripts/bench_scaling.py [n_events] [mode] [body_repeat] [runs] [N]
+    python scripts/bench_scaling.py [n_events] [mode] [body_repeat] [runs]
+        [N] [strategy] [layout] [trials_per_level] [pipeline_depth]
 """
 
 from __future__ import annotations
