@@ -8,6 +8,7 @@ import os
 import pandas as pd
 import pytest
 
+from epigraphdb_graph_spark.plans.avro import read_ocf
 from epigraphdb_graph_spark.plans.iceberg_export import to_iceberg_metadata
 from epigraphdb_graph_spark.plans.lake import LakeTable
 from epigraphdb_graph_spark.replay import replay
@@ -59,12 +60,28 @@ def test_export_shape_and_file_chain(spark, tmp_path):
     assert meta["refs"]["main"]["snapshot-id"] == snap["snapshot-id"]
 
     # --- snapshot -> manifest list -> manifest -> data files chain resolves
-    with open(snap["manifest-list"]) as f:
-        mlist = json.load(f)
+    # (both levels are spec Avro object container files, written by the
+    # from-scratch encoder and decoded here by its symmetric reader;
+    # human-readable JSON mirrors sit alongside with the same basename)
+    assert snap["manifest-list"].endswith(".avro")
+    mlist_schema, mlist, mlist_meta = read_ocf(snap["manifest-list"])
+    assert mlist_schema["name"] == "manifest_file"
+    assert {f["name"]: f["field-id"] for f in mlist_schema["fields"]}[
+        "manifest_path"] == 500  # spec v2 field ids ride in the schema
+    assert mlist_meta["format-version"] == b"2"
     assert len(mlist) == 1 and mlist[0]["content"] == 0
-    with open(mlist[0]["manifest_path"]) as f:
-        manifest = json.load(f)
-    entries = manifest["entries"]
+    assert os.path.isfile(snap["manifest-list"][:-5] + ".json")
+
+    man_schema, entries, man_meta = read_ocf(mlist[0]["manifest_path"])
+    assert mlist[0]["manifest_path"].endswith(".avro")
+    assert mlist[0]["manifest_length"] == os.path.getsize(
+        mlist[0]["manifest_path"])
+    assert man_schema["name"] == "manifest_entry"
+    assert json.loads(man_meta["schema"]) == schema  # table schema rides
+    assert man_meta["content"] == b"data"
+    with open(mlist[0]["manifest_path"][:-5] + ".json") as f:
+        assert json.load(f)["entries"] == entries  # mirror agrees exactly
+
     assert entries and all(e["data_file"]["file_format"] == "PARQUET"
                            for e in entries)
     for e in entries:
@@ -72,7 +89,7 @@ def test_export_shape_and_file_chain(spark, tmp_path):
         assert os.path.isfile(df["file_path"])
         assert df["file_size_in_bytes"] == os.path.getsize(df["file_path"])
         assert df["record_count"] >= 0
-    assert mlist[0]["added_files_count"] == len(entries)
+    assert mlist[0]["added_data_files_count"] == len(entries)
 
     # --- an external reader following the chain sees the exact snapshot:
     # raw rows == manifest record counts; applying the documented residual
