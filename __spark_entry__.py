@@ -539,7 +539,8 @@ def q22(spark, sf):
     )
     d = tempfile.mkdtemp(prefix="graft_q22_")
     replay(spark, os.path.join(d, "t"), ev, n_batches=3, n_buckets=8,
-           mode="mor", delta_layout="scattered", compact_every=2)
+           mode="mor", delta_layout="scattered", compact_every=2,
+           pipeline_depth=2)
     t = LakeTable(spark, os.path.join(d, "t"))
     return t.read().select(
         "user_id",
