@@ -64,8 +64,13 @@ class BackgroundCompactor:
 
     def close(self, timeout: float = 600.0) -> None:
         """Final threshold check, then stop; re-raises a compactor crash."""
-        self._wake.set()
+        # stop BEFORE wake: in the reverse order a worker blocked in
+        # wait() can consume the wake, observe stop still unset, clear
+        # the event and re-block — and close() never signals again
+        # (deadlock until the join timeout). With stop set first, any
+        # wakeup ordering observes stopping=True on its final pass.
         self._stop.set()
+        self._wake.set()
         self._thread.join(timeout)
         if self._thread.is_alive():
             raise TimeoutError("background compactor did not finish")

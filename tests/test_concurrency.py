@@ -296,3 +296,43 @@ def test_competing_compactors_refused(spark, tmp_path):
     _stale_first_manifest(c2, stale)
     with pytest.raises(ConcurrentWriteError):
         c2.compact()
+
+
+def test_background_compactor_close_shutdown_handoff(tmp_path):
+    """close() must publish the stop flag BEFORE the wakeup: in the
+    reverse order, a worker blocked in wait() can consume close()'s wake,
+    observe stop still unset, clear the event and re-block — and close()
+    never signals again (deadlock until the join timeout). The
+    instrumented wake below FORCES that adversarial schedule: its set()
+    does not return until the worker has consumed (cleared) the event, so
+    a stop flag set after the wake is provably set too late."""
+    import threading
+    import time
+
+    from epigraphdb_graph_spark.streaming.compactor import BackgroundCompactor
+
+    class HandoffEvent(threading.Event):
+        def set(self):  # noqa: A003 - mirrors threading.Event
+            super().set()
+            deadline = time.monotonic() + 2.0
+            while self.is_set() and time.monotonic() < deadline:
+                time.sleep(0.001)
+
+    # assemble without __init__ so the worker thread starts with the
+    # instrumented event already in place (no table: the worker's loop
+    # body is a pure no-op, isolating the shutdown protocol itself)
+    comp = BackgroundCompactor.__new__(BackgroundCompactor)
+    comp._spark = None
+    comp._path = str(tmp_path / "never_created")
+    comp._max = 64
+    comp._drop = False
+    comp._wake = HandoffEvent()
+    comp._stop = threading.Event()
+    comp._err = None
+    comp.compactions = 0
+    comp._thread = threading.Thread(target=comp._run, daemon=True)
+    comp._thread.start()
+    time.sleep(0.05)  # let the worker reach wait()
+
+    comp.close(timeout=5.0)  # deadlocks (TimeoutError) if wake precedes stop
+    assert not comp._thread.is_alive()
